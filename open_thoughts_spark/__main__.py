@@ -1,0 +1,68 @@
+"""spark-submit entrypoint for the quality-filter pipeline.
+
+Usage (cluster):
+    spark-submit --py-files open_thoughts_spark.zip -m open_thoughts_spark ...
+or locally:
+    python -m open_thoughts_spark --input <transcripts parquet> --output <dir>
+    python -m open_thoughts_spark --generate-fixture 600 --input <dir> \
+        [--output <dir>]   # writes the deterministic fixture first
+
+Outputs under --output: decisions/, filtered/, metrics/, lineage/ (parquet).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="open_thoughts_spark")
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--output", help="output directory (omit = dry run, count only)")
+    p.add_argument(
+        "--generate-fixture",
+        type=int,
+        metavar="N_CONVS",
+        help="first generate the deterministic fixture with N_CONVS conversations at --input",
+    )
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--langid-mode", choices=["native", "udf"], default="native")
+    p.add_argument("--master", default=None, help="override spark master")
+    args = p.parse_args(argv)
+
+    from open_thoughts_spark.session import get_spark
+    from open_thoughts_spark.pipeline import run_pipeline
+
+    spark = get_spark(app_name="ots-quality-filter", master=args.master)
+    t0 = time.time()
+    if args.generate_fixture:
+        from open_thoughts_spark.fixtures import write_transcripts
+
+        write_transcripts(spark, args.input, n_convs=args.generate_fixture, seed=args.seed)
+
+    result = run_pipeline(
+        spark, args.input, output_dir=args.output, langid_mode=args.langid_mode
+    )
+    metrics = {r["reason"]: r["rows"] for r in result["metrics"].collect()}
+    total = sum(metrics.values())
+    elapsed = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "rows": total,
+                "kept": metrics.get("kept", 0),
+                "drop_reasons": {k: v for k, v in sorted(metrics.items()) if k != "kept"},
+                "elapsed_sec": round(elapsed, 2),
+                "turns_per_sec": round(total / elapsed, 1) if elapsed > 0 else None,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""The flagship end-to-end quality-filter pipeline.
+
+Single declarative DataFrame chain (north_star, BASELINE.json):
+
+    transcripts (conv_id, turn_idx, role, text, tool, ts)
+      → language ID                        [native marker exprs / pandas-UDF harness]
+      → n-gram perplexity                  [vectorized Arrow UDF]
+      → heuristic rule flags               [native column exprs, codegen]
+      → reason cascade → keep/drop         [Alpaca utils:135-161 pattern]
+      → PII/toxicity scrub                 [native regexp_replace chain]
+      → window over (conv_id, turn_idx)    [stable turn ordering: turn_rank]
+      → outputs: filtered table, drop-reason metrics, per-partition lineage
+
+Scale notes (the 100 TB story):
+- Every per-turn step is narrow — no shuffle at all until the optional
+  conversation-level stats join; a 10^12-turn run is a single map stage.
+- The turn-ordering window shuffles by conv_id; hot conversations (skew) are
+  bounded (≤ ~10^3 turns/conv) so a window partition is small by construction;
+  AQE skew-join handles the conv-stats join for pathological keys.
+- Scrub + heuristics are whole-stage-codegen'd JVM expressions; only langid
+  (optional UDF harness mode) and perplexity cross into Python, batched via
+  Arrow with the model loaded once per worker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.functions.langid import with_langid, with_langid_udf
+from open_thoughts_spark.functions.perplexity import with_perplexity
+from open_thoughts_spark.rules.heuristics import with_decision, with_quality_flags
+from open_thoughts_spark.rules.scrub import with_scrubbed_text
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Read the transcripts table (parquet; on a real deployment this is
+    ``spark.read.table("catalog.db.transcripts")`` over Iceberg — same plan)."""
+    return spark.read.parquet(path)
+
+
+def quality_filter(
+    df: DataFrame,
+    langid_mode: str = "native",
+    with_turn_order: bool = True,
+    with_conv_stats: bool = False,
+) -> DataFrame:
+    """Attach lang/lang_prob, bits_per_char, rule flags, drop_reason, keep,
+    scrubbed_text (and optionally window/conv-level columns) to transcripts.
+
+    ``langid_mode``: 'native' = pure Catalyst regexp_count exprs (fastest);
+    'udf' = vectorized pandas-UDF harness (identical results; the shape a real
+    fastText model plugs into).
+    """
+    scored = with_langid_udf(df) if langid_mode == "udf" else with_langid(df)
+    scored = with_perplexity(scored)
+    flagged = with_quality_flags(scored)
+    decided = with_decision(flagged)
+    out = with_scrubbed_text(decided)
+    if with_turn_order:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        out = out.withColumn("turn_rank", F.row_number().over(w))
+    if with_conv_stats:
+        # conversation-level aggregate, joined back; partial aggregation is
+        # map-side (Catalyst), AQE splits skewed join partitions at runtime
+        stats = out.groupBy("conv_id").agg(
+            F.count("*").alias("conv_turns"),
+            F.sum(F.col("keep").cast("int")).alias("conv_kept_turns"),
+        )
+        out = out.join(stats, on="conv_id", how="left")
+    return out
+
+
+RESULT_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "ts",
+    "lang",
+    "lang_prob",
+    "bits_per_char",
+    "drop_reason",
+    "keep",
+    "scrubbed_text",
+]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str | None = None,
+    langid_mode: str = "native",
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; optionally write the three output tables.
+
+    Outputs: ``filtered`` (kept turns, scrubbed), ``decisions`` (every turn
+    with keep/drop + reason), ``metrics`` (drop-reason counts), ``lineage``
+    (per-partition row accounting).
+    """
+    from open_thoughts_spark.pipeline.metrics import (
+        drop_reason_metrics,
+        partition_lineage,
+    )
+
+    df = read_transcripts(spark, input_path)
+    decided = quality_filter(df, langid_mode=langid_mode)
+    decisions = decided.select(*RESULT_COLUMNS)
+    filtered = decisions.filter(F.col("keep")).drop("keep", "drop_reason")
+    metrics = drop_reason_metrics(decided)
+    lineage = partition_lineage(decided)
+    result = {
+        "decisions": decisions,
+        "filtered": filtered,
+        "metrics": metrics,
+        "lineage": lineage,
+    }
+    if output_dir:
+        decisions.write.mode("overwrite").parquet(f"{output_dir}/decisions")
+        filtered.write.mode("overwrite").parquet(f"{output_dir}/filtered")
+        metrics.write.mode("overwrite").parquet(f"{output_dir}/metrics")
+        lineage.write.mode("overwrite").parquet(f"{output_dir}/lineage")
+    return result

@@ -1,0 +1,159 @@
+"""Heuristic quality rules as native Spark column expressions.
+
+Reproduces the reference's rule families (citations in each rule) as pure
+Catalyst expressions — whole-stage-codegen'd, no Python in the hot path —
+with the Alpaca-style reason cascade (first matching rule wins, emitting
+``drop_reason`` + ``keep``) from
+/root/reference/open_thoughts_3/dcft/data_strategies/Alpaca/utils.py:135-161.
+
+Role gating maps the reference's split between *instruction* filters (Alpaca,
+applied to user turns) and *response* filters (Airoboros/WizardLM, applied to
+assistant turns); structural rules apply to all roles, with tool turns exempt
+from rules a JSON payload would trivially trip (short/symbol) per FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_thoughts_spark import config
+from open_thoughts_spark.rules import phrases
+
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+# Which roles each rule applies to (None = all roles).
+RULE_ROLES: dict[str, set[str] | None] = {
+    "empty": None,
+    "too_short": {"user", "assistant", "system"},
+    "too_long": None,
+    "blacklisted": {"user"},
+    "write_a_program_prefix": {"user"},
+    "punctuation_prefix": {"user"},
+    "ascii_prefix": {"user"},
+    "boilerplate": {"assistant"},
+    "url_artifact": {"user", "assistant", "system"},
+    "endoftext_artifact": None,
+    "non_english": {"user", "assistant"},
+    "repetition": None,
+    "symbol_heavy": {"user", "assistant", "system"},
+    "high_perplexity": {"user", "assistant"},
+}
+
+
+def stripped(text: Column) -> Column:
+    """ASCII-whitespace strip (reference: ``inst.strip()``, Alpaca utils:137)."""
+    return F.regexp_replace(text, f"^{_WS_CLASS}+|{_WS_CLASS}+$", "")
+
+
+def word_count(text: Column) -> Column:
+    """``len(text.split())`` semantics (Alpaca utils:140)."""
+    s = stripped(text)
+    return F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, f"{_WS_CLASS}+")))
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    s = stripped(text)
+    words = F.split(s, f"{_WS_CLASS}+")
+    return F.when(s == "", F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    )
+
+
+def symbol_ratio(text: Column) -> Column:
+    """Fraction of chars outside [A-Za-z0-9 + ASCII whitespace]."""
+    n = F.length(text)
+    alnum = F.length(F.regexp_replace(text, f"[^A-Za-z0-9{_WS_CLASS[1:-1]}]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - alnum).cast("double") / n)
+
+
+def rule_flags(
+    text: Column,
+    lang: Column | None = None,
+    lang_prob: Column | None = None,
+    bits_per_char: Column | None = None,
+) -> dict[str, Column]:
+    """Boolean expression per rule name (no role gating yet)."""
+    s = stripped(text)
+    wc = word_count(text)
+    flags: dict[str, Column] = {
+        # null/blank text
+        "empty": text.isNull() | (s == ""),
+        # Alpaca utils:140-145
+        "too_short": wc <= config.TOO_SHORT_WORDS,
+        "too_long": wc > config.TOO_LONG_WORDS,
+        # Alpaca utils:146-147 media blacklist (whole-word)
+        "blacklisted": text.rlike(phrases.media_blacklist_regex()),
+        # Alpaca utils:149-150
+        "write_a_program_prefix": s.startswith("Write a program"),
+        # Alpaca utils:152-154
+        "punctuation_prefix": s.rlike(phrases.PUNCT_PREFIX_REGEX),
+        # Alpaca utils:155-158
+        "ascii_prefix": s.rlike(phrases.NON_ASCII_PREFIX_REGEX),
+        # Airoboros utils:8-34 + wizardlm_clean.py:9-243
+        "boilerplate": text.rlike(phrases.boilerplate_regex()),
+        # open_thoughts/code/filters.py:6-13
+        "url_artifact": text.rlike(phrases.URL_ARTIFACT_REGEX),
+        # WebInstructAblation/utils.py:73
+        "endoftext_artifact": text.contains(phrases.ENDOFTEXT_ARTIFACT),
+        # repetition ratio (FIXTURES.md stratum 5)
+        "repetition": (wc >= config.REPETITION_MIN_WORDS)
+        & (distinct_word_ratio(text) < config.REPETITION_DISTINCT_RATIO),
+        # symbol/word ratio (FIXTURES.md stratum 6)
+        "symbol_heavy": symbol_ratio(text) > config.SYMBOL_RATIO_MAX,
+    }
+    if lang is not None and lang_prob is not None:
+        # fasttext_operator.py:119-154 semantics: predicted label + prob
+        flags["non_english"] = (
+            (lang != F.lit(config.LANGID_KEEP_LANG))
+            & (lang != F.lit("und"))
+            & (lang_prob >= config.LANGID_THRESHOLD)
+        )
+    if bits_per_char is not None:
+        flags["high_perplexity"] = bits_per_char > config.PERPLEXITY_MAX_BITS_PER_CHAR
+    return flags
+
+
+def with_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    role_col: str | None = "role",
+    langid_cols: tuple[str, str] | None = ("lang", "lang_prob"),
+    ppl_col: str | None = "bits_per_char",
+) -> DataFrame:
+    """Attach one boolean ``rule_<name>`` column per applicable rule."""
+    text = F.col(text_col)
+    lang = F.col(langid_cols[0]) if langid_cols else None
+    prob = F.col(langid_cols[1]) if langid_cols else None
+    bpc = F.col(ppl_col) if ppl_col else None
+    flags = rule_flags(text, lang, prob, bpc)
+    for name in config.RULE_ORDER:
+        if name not in flags:
+            continue
+        flag = F.coalesce(flags[name], F.lit(False))
+        roles = RULE_ROLES.get(name)
+        if roles is not None and role_col is not None:
+            flag = flag & F.col(role_col).isin(*sorted(roles))
+        df = df.withColumn(f"rule_{name}", flag)
+    return df
+
+
+def with_decision(df: DataFrame) -> DataFrame:
+    """Reason cascade: first flagged rule in RULE_ORDER wins.
+
+    Emits ``drop_reason`` (null = keep) and ``keep`` boolean — the
+    ``filtered_reason`` / ``filtered_decision`` pattern of Alpaca
+    utils:159-161.
+    """
+    reason = F.lit(None).cast("string")
+    # build coalesce(when(rule_1, '1'), when(rule_2, '2'), ...) in order
+    whens = [
+        F.when(F.col(f"rule_{name}"), F.lit(name))
+        for name in config.RULE_ORDER
+        if f"rule_{name}" in df.columns
+    ]
+    if whens:
+        reason = F.coalesce(*whens)
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

@@ -1,0 +1,105 @@
+"""Text normalization + PII/toxicity scrubbing.
+
+The north rule (BASELINE.json) requires compiled-regex PII scrubbing (emails,
+phones, keys) and toxicity masking per turn, with *exact* scrubbed-text
+equality against the oracle. The reference's in-repo precedent for regex
+substitution scrubbing is ``clean_text`` / ``remove_text``
+(/root/reference/open_thoughts_3/dcft/data_strategies/WebInstruct/utils.py:16-89):
+whitespace collapse via ``re.sub(r"\\s+", " ", ...)``, non-printable strip, and
+case-insensitive phrase removal.
+
+Engine-portability contract: every pattern below is valid and IDENTICAL in
+behavior across Java regex (Spark ``regexp_replace``), Python ``re`` (oracle)
+and RE2 (DuckDB). In particular we use an explicit ASCII whitespace class
+instead of ``\\s`` (whose Unicode behavior differs between Python and
+Java/RE2), and no lookaround/backreferences.
+
+The scrub runs as a chain of native ``regexp_replace`` calls — JVM-side,
+whole-stage-codegen'd, zero Python cost — which is the scale-correct choice
+for 10^12 turns. ``scrub_series`` is the same chain on pandas for the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = " \\t\\n\\x0B\\f\\r"  # explicit ASCII whitespace (dialect-portable)
+
+# Ordered scrub steps: (name, pattern, replacement). Order is semantics.
+SCRUB_STEPS: list[tuple[str, str, str]] = [
+    # 1. strip non-printable control chars (WebInstruct/utils.py:16-21 analog)
+    ("controls", "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+    # 2. collapse runs of whitespace to a single space
+    ("whitespace", f"[{_WS}]+", " "),
+    # 3. emails
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 4. phone numbers — explicit shapes only (international +CC with 2-4
+    # digit groups, NANP 3-3-4, or bare 3-4) so dates / number lists survive
+    (
+        "phone",
+        "(\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4})"
+        "|((\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
+        "|((\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})",
+        "<PHONE>",
+    ),
+    # 5. API-key-shaped tokens (sk-..., api_key=..., etc.)
+    (
+        "key",
+        "\\b(sk|pk|rk|api|key|token|secret)[-_][A-Za-z0-9]{8,}\\b",
+        "<KEY>",
+    ),
+    # 6. toxicity masking (deterministic word list; word-boundary, ci)
+    (
+        "toxic",
+        "(?i)\\b(damn|hell|idiot|stupid|moron|jackass)\\b",
+        "<TOX>",
+    ),
+    # 7. trim leading/trailing spaces (regex form so all engines agree)
+    ("trim", "^ +| +$", ""),
+]
+
+_COMPILED = [(re.compile(p), r) for _, p, r in SCRUB_STEPS]
+
+
+def scrub_expr(col: Column | str) -> Column:
+    """Native Spark column expression applying the full scrub chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in SCRUB_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def scrub_series(s: pd.Series) -> pd.Series:
+    """Pandas implementation of the identical chain (oracle / pandas-UDF path)."""
+    out = s.fillna("")
+    for pattern, repl in _COMPILED:
+        out = out.str.replace(pattern, repl, regex=True)
+    return out
+
+
+def scrub_text(text: str | None) -> str:
+    """Single-string scrub (oracle convenience)."""
+    if text is None:
+        return ""
+    for pattern, repl in _COMPILED:
+        text = pattern.sub(repl, text)
+    return text
+
+
+def scrub_sql(col_name: str) -> str:
+    """DuckDB SQL expression applying the same chain (for oracle_sql parity)."""
+    expr = col_name
+    for _, pattern, repl in SCRUB_STEPS:
+        p = pattern.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+def with_scrubbed_text(df, text_col: str = "text", out_col: str = "scrubbed_text"):
+    """Attach the scrubbed text column (native, codegen'd)."""
+    return df.withColumn(out_col, scrub_expr(text_col))

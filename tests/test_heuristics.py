@@ -1,0 +1,77 @@
+"""Unit tests for the heuristic rules: tiny in-memory frames, exact reasons.
+
+Mirrors the reference's rule semantics with explicit cases per family
+(Alpaca/utils.py:135-161, Airoboros/utils.py:8-34, wizardlm_clean.py:9-243,
+open_thoughts/code/filters.py:6-13)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.pipeline import quality_filter
+
+# (role, text, expected_reason-or-None)
+CASES = [
+    ("user", "Explain how a hash join works in a distributed engine.", None),
+    ("user", "", "empty"),
+    ("user", "   \t  ", "empty"),
+    ("user", "ok then", "too_short"),
+    ("assistant", "yes", "too_short"),
+    ("user", "word " * 151, "too_long"),
+    ("user", "Please describe the image in the attachment for me.", "blacklisted"),
+    ("user", "Write a program that reverses a linked list in place.", "write_a_program_prefix"),
+    ("user", "? is this a question about joins or about shuffles", "punctuation_prefix"),
+    ("user", "¿como funciona esto exactamente en la version nueva?", "ascii_prefix"),
+    ("assistant", "As an AI language model, I cannot do that for you.", "boilerplate"),
+    ("assistant", "I'm sorry, that request is outside what I can help with today.", "boilerplate"),
+    ("assistant", "My knowledge cutoff is September 2021 so this may be stale.", "boilerplate"),
+    ("assistant", "See http://example.com for the details of the setup stuff.", "url_artifact"),
+    ("user", "the file ended with <|endoftext|> which broke the parser", "blacklisted"),
+    ("assistant", "the log ended with <|endoftext|> which broke the parser there", "endoftext_artifact"),
+    ("assistant", "El informe es una guía clara para el equipo y para los clientes.", "non_english"),
+    ("assistant", ("loop " * 24).strip(), "repetition"),
+    # punct-prefix is user-only, so an assistant symbol soup reads symbol_heavy
+    ("assistant", "=== *** !!! ### $$$ %%% ^^^ &&& ((( ))) ___ +++", "symbol_heavy"),
+    ("user", "*** !!! ### starts with punctuation", "punctuation_prefix"),
+    ("user", "xqzwv jkqpf zzyyx qqvvb wkxjz pqzkv mjqxw zkvpq", "high_perplexity"),
+    # role gating: responses aren't subject to instruction rules & vice versa
+    ("assistant", "Please describe the image in the attachment for me.", None),
+    ("user", "As an AI language model, I cannot do that for you.", None),
+    ("assistant", "? is this a question about joins or about shuffles", None),
+    # tool turns: JSON payloads survive
+    ("tool", '{"tool": "search", "hits": 3}', None),
+    ("tool", "{}", None),
+    # system turns behave structurally
+    ("system", "You are a helpful assistant for billing questions today.", None),
+]
+
+
+@pytest.fixture(scope="module")
+def decided(spark):
+    rows = [(f"c{i}", i, role, text) for i, (role, text, _) in enumerate(CASES)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = quality_filter(df, with_turn_order=False)
+    got = {
+        r["turn_idx"]: r["drop_reason"]
+        for r in out.select("turn_idx", "drop_reason").collect()
+    }
+    return got
+
+
+def test_expected_reasons(decided):
+    for i, (role, text, expected) in enumerate(CASES):
+        assert decided[i] == expected, (
+            f"case {i} ({role!r}, {text[:50]!r}): got {decided[i]!r}, "
+            f"want {expected!r}"
+        )
+
+
+def test_null_text_is_empty(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "user", None)], "conv_id string, turn_idx int, role string, text string"
+    )
+    out = quality_filter(df, with_turn_order=False)
+    assert out.select("drop_reason").collect()[0][0] == "empty"
