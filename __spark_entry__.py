@@ -1,38 +1,832 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline; ``queries()``
+exposes one entry per implemented operator family (SURVEY.md §2) over the
+driver testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+Every SQL oracle is generated from the SAME constants as the Spark plan
+(open_thoughts_spark.oracle.duck_sql) in the Java/Python/RE2-portable regex
+subset, and every cross-row aggregate is computed in integer space (cents,
+counts) so float summation order can't desynchronize the engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_thoughts_spark import config
+from open_thoughts_spark.functions.langid import LANGS, langid_exprs
+from open_thoughts_spark.functions.text_stats import with_text_stats, fingerprint_expr
+from open_thoughts_spark.oracle import duck_sql
+from open_thoughts_spark.operators import dedup, decontaminate, relational, similarity
+from open_thoughts_spark.pipeline import quality_filter
+from open_thoughts_spark.rules.scrub import scrub_expr, scrub_sql
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer cents from a 2-dp double (portable across engines)."""
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# transcripts derivation: a deterministic transcripts-shaped table from the
+# documents table, so the north-rule pipeline is exercised on driver data too
+# --------------------------------------------------------------------------
+
+N_DERIVED_CONVS = 60
+_ROLES = ["user", "assistant", "system"]
+
+
+def derive_transcripts(docs: DataFrame) -> DataFrame:
+    conv = F.concat(
+        F.lit("conv-"), F.lpad((F.col("doc_id") % N_DERIVED_CONVS).cast("string"), 4, "0")
+    )
+    w = Window.partitionBy(F.col("doc_id") % N_DERIVED_CONVS).orderBy("doc_id")
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in _ROLES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        conv.alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 17).alias("ts"),
+    )
+
+
+DERIVE_TRANSCRIPTS_SQL = f"""
+    select
+      'conv-' || lpad((doc_id % {N_DERIVED_CONVS})::varchar, 4, '0') as conv_id,
+      (row_number() over (partition by doc_id % {N_DERIVED_CONVS} order by doc_id) - 1) as turn_idx,
+      (case doc_id % 3 when 0 then 'user' when 1 then 'assistant' else 'system' end) as role,
+      text
+    from documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter pipeline over transcripts derived from
+    the sf0.001 documents table (langid + perplexity + rules + scrub)."""
+    docs = _t(spark, SF_DEFAULT, "documents")
+    tr = derive_transcripts(docs)
+    out = quality_filter(tr, langid_mode="native")
+    return out.select(
+        "conv_id", "turn_idx", "role", "lang", "lang_prob", "bits_per_char",
+        "drop_reason", "keep", "scrubbed_text", "turn_rank",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (partial+final agg, integer cents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice")) * (100 - disc_pct)).alias(
+                "sum_disc_cents_pct"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+    select l_returnflag, l_linestatus,
+      sum(cast(l_quantity as bigint)) as sum_qty,
+      sum(cast(round(l_extendedprice*100) as bigint)) as sum_base_cents,
+      sum(cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))) as sum_disc_cents_pct,
+      count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02'
+    group by l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Q3-style: top-10 orders by revenue for one segment (join + top-k)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice")) * (100 - disc_pct)).alias("revenue_cents_pct"))
+    )
+    return rev.orderBy(F.desc("revenue_cents_pct"), "l_orderkey").limit(10)
+
+
+SQL_TPCH_Q3 = """
+    select l_orderkey,
+      sum(cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))) as revenue_cents_pct
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    where c_mktsegment = 'BUILDING'
+    group by l_orderkey
+    order by revenue_cents_pct desc, l_orderkey
+    limit 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Q5-style: revenue per region (6-way join; dims broadcast)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice")) * (100 - disc_pct)).alias("revenue_cents_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+    select r_name,
+      sum(cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))) as revenue_cents_pct,
+      count(*) as n_items
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by r_name
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    """Tumbling daily rollup per event type (streaming-shaped agg in batch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+    select strftime(ts, '%Y-%m-%d') as event_date, event_type,
+      count(*) as n_events,
+      sum(cast(round(value*100) as bigint)) as value_cents,
+      count(distinct user_id) as n_users
+    from events
+    group by 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag window + cum sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # exact integer µs
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+    with g as (
+      select user_id,
+        case when epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id)
+               is null
+             or epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id)
+               > 1800000000
+             then 1 else 0 end as new_sess
+      from events
+    )
+    select user_id, sum(new_sess) as n_sessions, count(*) as n_events
+    from g group by user_id
+"""
+
+
+def q_window_top_customers(spark, sf_dir):
+    """Top-3 customers per market segment by balance (ranked window)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+SQL_WINDOW_TOP_CUSTOMERS = """
+    select c_mktsegment, rank, c_custkey, c_acctbal from (
+      select c_mktsegment, c_custkey, c_acctbal,
+        row_number() over (partition by c_mktsegment
+                           order by c_acctbal desc, c_custkey) as rank
+      from customer
+    ) where rank <= 3
+"""
+
+
+def q_orders_running_total(spark, sf_dir):
+    """Per-customer running order total (cumulative window, integer cents)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
+SQL_ORDERS_RUNNING_TOTAL = """
+    select o_custkey, o_orderkey,
+      sum(cast(round(o_totalprice*100) as bigint))
+        over (partition by o_custkey order by o_orderdate, o_orderkey
+              rows between unbounded preceding and current row) as running_cents
+    from orders
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Per-user event-type counts (pivot as conditional aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+SQL_EVENTS_PIVOT = """
+    select user_id,
+      sum(case when event_type='click' then 1 else 0 end) as n_click,
+      sum(case when event_type='view' then 1 else 0 end) as n_view,
+      sum(case when event_type='purchase' then 1 else 0 end) as n_purchase,
+      sum(case when event_type='signup' then 1 else 0 end) as n_signup,
+      sum(case when event_type='error' then 1 else 0 end) as n_error
+    from events group by user_id
+"""
+
+
+def q_merge_enrich(spark, sf_dir):
+    """merge-operator semantics: left-enrich orders with customer + nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = relational.merge_left_enrich(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey"
+    )
+    enriched = relational.merge_left_enrich(
+        enriched.withColumnRenamed("c_nationkey", "n_nationkey"), n, "n_nationkey"
+    )
+    return enriched.select("o_orderkey", "c_custkey", "c_name", "n_name")
+
+
+SQL_MERGE_ENRICH = """
+    select o_orderkey, o_custkey as c_custkey, c_name, n_name
+    from orders
+    left join customer on o_custkey = c_custkey
+    left join nation on c_nationkey = n_nationkey
+"""
+
+
+# --- quality-filter family over documents ---
+
+def q_qf_docs_decisions(spark, sf_dir):
+    """Full heuristic cascade + langid on documents (no roles, no ppl)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_filter(
+        docs.withColumnRenamed("doc_id", "doc_id"),
+        with_turn_order=False,
+        compute_ppl=False,
+        role_col=None,
+    )
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        "drop_reason",
+        "keep",
+    )
+
+
+def sql_qf_docs_decisions():
+    pred, _ = duck_sql.langid_pred_sql("text")
+    cascade = duck_sql.reason_cascade_sql("text")
+    return f"""
+        select doc_id, {pred} as pred_lang,
+          {cascade} as drop_reason,
+          ({cascade} is null) as keep
+        from documents
+    """
+
+
+def q_qf_docs_scrub(spark, sf_dir):
+    """PII scrub parity: inject deterministic PII, scrub, exact text out."""
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        (F.col("doc_id") % 997).cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" token sk-"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        F.lit(" ok"),
+    )
+    return docs.select(
+        "doc_id", scrub_expr(pii).alias("scrubbed_text")
+    )
+
+
+def sql_qf_docs_scrub():
+    pii = (
+        "substr(text, 1, 40) || ' contact user' || (doc_id % 997)::varchar"
+        " || '@example.com or +1-555-' || lpad((doc_id % 10000)::varchar, 4, '0')"
+        " || ' token sk-' || substr(md5(doc_id::varchar), 1, 12) || ' ok'"
+    )
+    return f"select doc_id, {scrub_sql(pii)} as scrubbed_text from documents"
+
+
+def q_qf_transcripts(spark, sf_dir):
+    """North-rule pipeline (langid + role-gated rules + scrub) on derived
+    transcripts — the SQL-oracled subset (perplexity rule excluded)."""
+    docs = _t(spark, sf_dir, "documents")
+    tr = derive_transcripts(docs)
+    out = quality_filter(tr, with_turn_order=True, compute_ppl=False)
+    return out.select(
+        "conv_id", "turn_idx", "role", "lang", "drop_reason", "keep",
+        "scrubbed_text", "turn_rank",
+    )
+
+
+def sql_qf_transcripts():
+    from open_thoughts_spark.rules.heuristics import RULE_ROLES
+
+    pred, _ = duck_sql.langid_pred_sql("text")
+    cascade = duck_sql.reason_cascade_sql(
+        "text", role_expr="role", role_gates=RULE_ROLES
+    )
+    return f"""
+        with t as ({DERIVE_TRANSCRIPTS_SQL})
+        select conv_id, turn_idx, role, {pred} as lang,
+          {cascade} as drop_reason,
+          ({cascade} is null) as keep,
+          {scrub_sql('text')} as scrubbed_text,
+          turn_idx + 1 as turn_rank
+        from t
+    """
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = with_text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.col("stopwords").cast("long").alias("stopwords"),
+        F.col("punct_chars").cast("long").alias("punct_chars"),
+        "quality_score",
+        "fingerprint",
+    )
+
+
+def sql_text_stats():
+    from open_thoughts_spark.functions.text_stats import (
+        BPE_TOKEN_REGEX,
+        STOPWORD_REGEX,
+    )
+
+    wc = duck_sql.word_count_sql("text")
+    bpe = f"len(regexp_extract_all(text, {duck_sql.q(BPE_TOKEN_REGEX)}))"
+    stop = f"len(regexp_extract_all(text, {duck_sql.q(STOPWORD_REGEX)}))"
+    punct = (
+        "len(regexp_extract_all(text,"
+        " '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]'))"
+    )
+    len_score = f"least({wc} / 20.0, 1.0) * (case when {wc} > 200 then 0.5 else 1.0 end)"
+    stop_score = f"least((case when {wc} > 0 then {stop} / ({wc})::double else 0.0 end) * 4, 1.0)"
+    punct_score = (
+        f"greatest(1.0 - (case when length(text) > 0 then {punct} /"
+        f" length(text)::double else 0.0 end) * 2, 0.0)"
+    )
+    quality = f"round(({len_score}) * (0.5 + 0.5 * ({stop_score})) * ({punct_score}), 6)"
+    norm = (
+        "regexp_replace(lower(trim(regexp_replace(text,"
+        " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')"
+    )
+    return f"""
+        select doc_id, {wc} as ws_tokens, {bpe} as bpe_tokens,
+          {stop} as stopwords, {punct} as punct_chars,
+          {quality} as quality_score, md5({norm}) as fingerprint
+        from documents
+    """
+
+
+def q_fingerprint_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.withColumn("fingerprint", fingerprint_expr(F.col("text")))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+    )
+
+
+SQL_FINGERPRINT_SUMMARY = """
+    select source, count(*) as n_docs,
+      count(distinct md5(regexp_replace(lower(trim(regexp_replace(text,
+        '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g'))) as n_unique
+    from documents group by source
+"""
+
+
+# --- dedup family ---
+
+def q_dedup_keyfirst(spark, sf_dir):
+    """Exact dedup keep-first on a colliding key (lang, word_count)."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.col("text"), " ")).cast("long")
+    keyed = docs.withColumn("word_count", wc)
+    kept = relational.dedup_on_columns(keyed, ["lang", "word_count"], ["doc_id"])
+    return kept.select("doc_id", "lang", "word_count")
+
+
+SQL_DEDUP_KEYFIRST = """
+    select doc_id, lang, word_count from (
+      select doc_id, lang, len(string_split(text, ' '))::bigint as word_count,
+        row_number() over (partition by lang, len(string_split(text, ' '))
+                           order by doc_id) as rn
+      from documents
+    ) where rn = 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sig = dedup.minhash_signature(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_perm=8, shingle_n=3
+    )
+    return sig
+
+
+def sql_minhash_signatures():
+    mins = ",\n      ".join(
+        f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8)
+    )
+    return f"""
+        with w as (
+          select doc_id, string_split(text, ' ') as words from documents
+        ), sh as (
+          select doc_id, distinct_sh as sh from (
+            select doc_id, unnest(list_distinct([
+              array_to_string(words[i:i+2], ' ')
+              for i in range(1, greatest(len(words) - 2, 0) + 1)
+            ])) as distinct_sh
+            from w
+          )
+        )
+        select doc_id, {mins} from sh group by doc_id
+    """
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs (4 bands × 2 rows over 8 perms) + exact Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, "doc_id", "text", num_perm=8, shingle_n=3)
+    bands = dedup.lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
+    cands = dedup.candidate_pairs(bands, "doc_id")
+    verified = dedup.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, pairs=cands)
+    return verified.select(
+        "id_a", "id_b", "common", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard_r6")
+    )
+
+
+def sql_minhash_pairs():
+    band_rows = []
+    for b in range(4):
+        c0, c1 = f"mh_{2*b}", f"mh_{2*b+1}"
+        band_rows.append(
+            f"select doc_id, {b} as band_idx, md5({c0} || '|' || {c1}) as band_key from sig"
+        )
+    bands = " union all ".join(band_rows)
+    return f"""
+        with w as (
+          select doc_id, string_split(text, ' ') as words from documents
+        ), sh as (
+          select doc_id, unnest(list_distinct([
+            array_to_string(words[i:i+2], ' ')
+            for i in range(1, greatest(len(words) - 2, 0) + 1)
+          ])) as sh
+          from w
+        ), sig as (
+          select doc_id,
+            {", ".join(f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8))}
+          from sh group by doc_id
+        ), bands as ({bands}),
+        cands as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from bands a join bands b
+            on a.band_idx = b.band_idx and a.band_key = b.band_key
+           and a.doc_id < b.doc_id
+        ), sizes as (
+          select doc_id, count(*) as n from sh group by doc_id
+        ), common as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as common
+          from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select c.id_a, c.id_b, c.common,
+          sa.n as size_a, sb.n as size_b,
+          round(c.common / (sa.n + sb.n - c.common)::double, 6) as jaccard_r6
+        from common c
+        join cands k on c.id_a = k.id_a and c.id_b = k.id_b
+        join sizes sa on sa.doc_id = c.id_a
+        join sizes sb on sb.doc_id = c.id_b
+    """
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash32(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_simhash():
+    sums = ",\n      ".join(
+        f"sum(case when ascii(substr(md5(w), {j + 1}, 1)) % 2 = 1 then 1 else -1 end) as s{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"(case when s{j} > 0 then {2**j}::bigint else 0 end)" for j in range(32)
+    )
+    return f"""
+        with w as (
+          select doc_id, unnest(string_split(lower(trim(text)), ' ')) as w
+          from documents
+        ), f as (select doc_id, w from w where w != ''),
+        s as (select doc_id, {sums} from f group by doc_id)
+        select doc_id, {bits} as simhash from s
+    """
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Blocked n-gram Jaccard near-dup pairs (within lang blocks)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.2, block_col="lang"
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+
+
+def sql_ngram_jaccard():
+    return """
+        with w as (
+          select doc_id, lang, string_split(lower(trim(text)), ' ') as words
+          from documents
+        ), sh as (
+          select doc_id, lang, unnest(list_distinct([
+            array_to_string(words[i:i+1], ' ')
+            for i in range(1, greatest(len(words) - 1, 0) + 1)
+          ])) as sh
+          from w
+        ), sizes as (select doc_id, count(*) as n from sh group by doc_id),
+        common as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as common
+          from sh a join sh b on a.sh = b.sh and a.lang = b.lang
+            and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select c.id_a, c.id_b,
+          round(c.common / (sa.n + sb.n - c.common)::double, 6) as jaccard_r6
+        from common c
+        join sizes sa on sa.doc_id = c.id_a
+        join sizes sb on sb.doc_id = c.id_b
+        where c.common / (sa.n + sb.n - c.common)::double >= 0.2
+    """
+
+
+def q_decontaminate(spark, sf_dir):
+    """n-gram decontamination: ids sharing a 3-gram with the src0 'eval' set."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    return decontaminate.contaminated_ids(pool, eval_df, "doc_id", "text", n=3)
+
+
+SQL_DECONTAMINATE = """
+    with w as (
+      select doc_id, source, string_split(lower(trim(text)), ' ') as words
+      from documents
+    ), sh as (
+      select doc_id, source, unnest(list_distinct([
+        array_to_string(words[i:i+2], ' ')
+        for i in range(1, greatest(len(words) - 2, 0) + 1)
+      ])) as sh
+      from w
+    )
+    select distinct d.doc_id
+    from sh d join (select distinct sh from sh where source = 'src0') e
+      on d.sh = e.sh
+    where d.source != 'src0'
+"""
+
+
+# --- sampling / top-k ---
+
+def q_stratified_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = relational.stratified_sample(docs, "lang", 20, ["doc_id"], salt="strat")
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+    select doc_id, lang from (
+      select doc_id, lang,
+        row_number() over (partition by lang
+          order by md5('strat' || '|' || doc_id::varchar), doc_id) as rn
+      from documents
+    ) where rn <= 20
+"""
+
+
+def q_topn_longest(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return relational.filter_top_n(docs, "n_chars", 25, ["doc_id"]).select(
+        "doc_id", "n_chars"
+    )
+
+
+SQL_TOPN_LONGEST = """
+    select doc_id, n_chars from documents
+    order by n_chars desc, doc_id limit 25
+"""
+
+
+# --- similarity search ---
+
+def q_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_KNN = """
+    with v as (select vec_id, embedding::double[] as e from embeddings),
+    sims as (
+      select q.vec_id as query_id, c.vec_id as neighbor_id,
+        round(list_dot_product(q.e, c.e) /
+              (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+              6) as sim6
+      from v q join v c on c.vec_id != q.vec_id
+      where q.vec_id < 10
+    )
+    select query_id, neighbor_id, rank from (
+      select query_id, neighbor_id,
+        row_number() over (partition by query_id
+                           order by sim6 desc, neighbor_id) as rank
+      from sims
+    ) where rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH (no SQL oracle — model-side
+    plane generation; driver records the weaker rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_lsh_topk(emb, queries, k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.6, block_col="label"
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+    with v as (select vec_id, label, embedding::double[] as e from embeddings)
+    select a.vec_id as id_a, b.vec_id as id_b,
+      round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) as cosine
+    from v a join v b on a.label = b.label and a.vec_id < b.vec_id
+    where round(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+          >= 0.6
+"""
+
+
+def q_domain_frequency(spark, sf_dir):
+    """Two-phase count + HAVING (WebInstruct domain-frequency shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return relational.count_and_filter_low_frequency(docs, "lang", 30)
+
+
+SQL_DOMAIN_FREQUENCY = """
+    select lang, count(*) as count from documents
+    group by lang having count(*) >= 30
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing": q_tpch_q1,
+        "tpch_q3_top_orders": q_tpch_q3,
+        "tpch_q5_region_revenue": q_tpch_q5,
+        "events_daily_rollup": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "events_type_pivot": q_events_pivot,
+        "window_top_customers": q_window_top_customers,
+        "orders_running_total": q_orders_running_total,
+        "merge_left_enrich": q_merge_enrich,
+        "qf_docs_decisions": q_qf_docs_decisions,
+        "qf_docs_scrub_pii": q_qf_docs_scrub,
+        "qf_transcripts_pipeline": q_qf_transcripts,
+        "text_stats_docs": q_text_stats,
+        "docs_fingerprint_summary": q_fingerprint_summary,
+        "dedup_exact_keyfirst": q_dedup_keyfirst,
+        "dedup_minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_simhash": q_simhash,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "decontaminate_ngram": q_decontaminate,
+        "sample_stratified_by_lang": q_stratified_sample,
+        "topn_longest_docs": q_topn_longest,
+        "knn_bruteforce_top5": q_knn,
+        "ann_lsh_top5": q_ann_lsh,
+        "embedding_neardup_pairs": q_embedding_neardup,
+        "domain_frequency_filter": q_domain_frequency,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing": SQL_TPCH_Q1,
+        "tpch_q3_top_orders": SQL_TPCH_Q3,
+        "tpch_q5_region_revenue": SQL_TPCH_Q5,
+        "events_daily_rollup": SQL_EVENTS_DAILY,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_type_pivot": SQL_EVENTS_PIVOT,
+        "window_top_customers": SQL_WINDOW_TOP_CUSTOMERS,
+        "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
+        "merge_left_enrich": SQL_MERGE_ENRICH,
+        "qf_docs_decisions": sql_qf_docs_decisions(),
+        "qf_docs_scrub_pii": sql_qf_docs_scrub(),
+        "qf_transcripts_pipeline": sql_qf_transcripts(),
+        "text_stats_docs": sql_text_stats(),
+        "docs_fingerprint_summary": SQL_FINGERPRINT_SUMMARY,
+        "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
+        "dedup_minhash_signatures": sql_minhash_signatures(),
+        "dedup_minhash_pairs": sql_minhash_pairs(),
+        "dedup_simhash": sql_simhash(),
+        "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "decontaminate_ngram": SQL_DECONTAMINATE,
+        "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
+        "topn_longest_docs": SQL_TOPN_LONGEST,
+        "knn_bruteforce_top5": SQL_KNN,
+        "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
+        "domain_frequency_filter": SQL_DOMAIN_FREQUENCY,
+        # ann_lsh_top5 intentionally omitted: plane generation is model-side
+    }

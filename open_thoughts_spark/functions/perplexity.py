@@ -135,4 +135,8 @@ def perplexity_udf(max_chars: int | None = None):
 def with_perplexity(
     df: DataFrame, text_col: str = "text", out_col: str = "bits_per_char"
 ) -> DataFrame:
-    return df.withColumn(out_col, perplexity_udf()(F.col(text_col)))
+    # truncate in-plan (JVM side) so the Arrow transfer ships at most
+    # PERPLEXITY_MAX_CHARS per turn — the UDF's own cap is then a no-op,
+    # but kept so direct calls score identically
+    capped = F.substring(F.col(text_col), 1, config.PERPLEXITY_MAX_CHARS)
+    return df.withColumn(out_col, perplexity_udf()(capped))

@@ -1,0 +1,111 @@
+"""Decontamination against evaluation sets.
+
+Reference semantics:
+- OpenThoughts-114k: fuzzy match >= 95 vs eval questions
+  (/root/reference/open_thoughts/decontaminate.py:12-59, eval registry
+  open_thoughts/eval.py:1-23);
+- DCFT production: fuzzy (tau=75) OR 13-token n-gram overlap using tokenizer
+  n-gram sets (/root/reference/open_thoughts_3/dcft/data_strategies/
+  _A1_Source/utils.py:49-195).
+
+Spark-first design: the eval corpus is small → its n-gram set is broadcast
+and the contaminated-doc set is computed with a broadcast join + left_anti —
+the classic scalable decontamination shape. Fuzzy-channel decontamination
+reuses the MinHash machinery from operators/dedup.py against the eval table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_thoughts_spark import config
+from open_thoughts_spark.operators.dedup import (
+    candidate_pairs,
+    jaccard_pairs,
+    lsh_bands,
+    minhash_signature,
+    shingles_expr,
+)
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = config.DECONTAMINATE_NGRAM_N,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Drop rows sharing any word n-gram with the eval set.
+
+    _A1_Source/utils.py:49-52 checks n-gram set intersection per doc; here:
+    explode doc n-grams → broadcast-join the (small) eval n-gram set →
+    contaminated ids → left_anti. Two narrow joins, no O(n·m) compare.
+    """
+    etc = eval_text_col or text_col
+    eval_grams = F.broadcast(
+        eval_df.select(F.explode(shingles_expr(F.col(etc), n)).alias("_g")).distinct()
+    )
+    key = id_col or "_dc_id"
+    base = df if id_col else df.withColumn(key, F.monotonically_increasing_id())
+    doc_grams = base.select(
+        F.col(key), F.explode(shingles_expr(F.col(text_col), n)).alias("_g")
+    )
+    contaminated = doc_grams.join(eval_grams, on="_g").select(key).distinct()
+    out = base.join(contaminated, on=key, how="left_anti")
+    return out.drop(key) if not id_col else out
+
+
+def contaminated_ids(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = config.DECONTAMINATE_NGRAM_N,
+) -> DataFrame:
+    """The ids that WOULD be dropped (audit view: reference logs these,
+    decontaminate.py:53-58)."""
+    etc = eval_text_col or text_col
+    eval_grams = F.broadcast(
+        eval_df.select(F.explode(shingles_expr(F.col(etc), n)).alias("_g")).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("_g")
+    )
+    return doc_grams.join(eval_grams, on="_g").select(id_col).distinct()
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str,
+    eval_text_col: str | None = None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH channel: drop docs near-duplicating an eval doc.
+
+    Replaces rapidfuzz-ratio (tau=75) with shingle-Jaccard at an equivalent
+    operating point; candidates come from shared LSH bands between the doc
+    corpus and the (broadcastable) eval signatures.
+    """
+    etc = eval_text_col or text_col
+    # tag eval rows with negative ids so pair machinery (id_a < id_b) puts
+    # eval first and docs second
+    docs = df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
+    evals = eval_df.select(
+        (-1 - F.col(eval_id_col).cast("long")).alias("_id"), F.col(etc).alias("_t")
+    )
+    both = docs.unionByName(evals)
+    sig = minhash_signature(both, "_id", "_t")
+    cands = candidate_pairs(lsh_bands(sig, "_id"), "_id").filter(
+        (F.col("id_a") < 0) & (F.col("id_b") >= 0)  # eval × doc pairs only
+    )
+    verified = jaccard_pairs(both, "_id", "_t", min_jaccard=min_jaccard, pairs=cands)
+    losers = verified.select(F.col("id_b").alias("_loser")).distinct()
+    return df.join(
+        losers, on=F.col(id_col).cast("long") == F.col("_loser"), how="left_anti"
+    )

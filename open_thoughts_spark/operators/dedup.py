@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Reference semantics being re-expressed (not ported):
+- exact dedup keep-first: pandas drop_duplicates
+  (/root/reference/open_thoughts_3/dcft/data_strategies/commons.py:344-402)
+  → ``relational.dedup_on_columns`` (row_number window);
+- fuzzy dedup: all-pairs rapidfuzz ratio >= 95 over unique values with
+  union-find grouping, keep lowest index
+  (/root/reference/open_thoughts/deduplicate.py:17-55). All-pairs is
+  O(n^2) and cannot scale; the Spark-native strategy is MinHash-LSH:
+  shingle → K min-hash signature → band buckets → candidate pairs via
+  bucket join → exact Jaccard verification → keep-min-id. This is the
+  standard web-scale near-dup design (e.g. the DCLM / RefinedWeb
+  pipelines the reference ingests from).
+
+Portability note: all hashing is ``md5`` over strings, which produces
+identical hex in Spark, Python and DuckDB — so candidate generation is
+fully reproducible in the SQL correctness oracle (something xxhash64
+or Spark's ``hash`` would not give us).
+
+Scale notes:
+- one explode per document over its shingle set (size ~ words-n+1), one
+  groupBy per signature — the shuffle carries (id, P mins), P small;
+- the bucket self-join is the LSH join: only colliding docs meet;
+- Jaccard verification joins only candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_thoughts_spark import config
+
+
+def words_expr(text: Column, lowercase: bool = True) -> Column:
+    t = F.lower(text) if lowercase else text
+    return F.split(F.trim(t), "[ \\t\\n\\x0B\\f\\r]+")
+
+
+def shingles_expr(text: Column, n: int = config.SHINGLE_SIZE) -> Column:
+    """Distinct word n-gram shingles as an array<string> (native exprs)."""
+    w = words_expr(text)
+    if n == 1:
+        return F.array_distinct(w)
+    # guard: sequence(1, 0) would count DOWN in Spark; short texts get no shingles
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = config.MINHASH_NUM_PERM,
+    shingle_n: int = config.SHINGLE_SIZE,
+) -> DataFrame:
+    """(id, mh_0..mh_{P-1}): P md5-min-hashes over the shingle set.
+
+    One explode + one groupBy; the P mins are computed as P aggregate
+    expressions over the same exploded column (single shuffle).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_sh")))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = config.MINHASH_BANDS,
+    rows_per_band: int = config.MINHASH_ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_idx, band_key): md5 of each band's concatenated mins."""
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        pieces.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*pieces)).alias("_b")
+    ).select(id_col, F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key"))
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs colliding in at least one band."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = config.SHINGLE_SIZE,
+    min_jaccard: float = 0.0,
+    pairs: DataFrame | None = None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for (a) given candidate ``pairs``, or
+    (b) all pairs sharing >= 1 shingle (optionally within ``block_col``).
+
+    Returns (id_a, id_b, common, size_a, size_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    join_keys = ["_sh"] + ([block_col] if block_col else [])
+    a = sh.select(*[F.col(c).alias(c if c != id_col else "id_a") for c in sh.columns])
+    b = sh.select(*[F.col(c).alias(c if c != id_col else "id_b") for c in sh.columns])
+    common = (
+        a.join(b, on=join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, on=["id_a", "id_b"], how="inner")
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "size_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "size_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    num_perm: int = config.MINHASH_NUM_PERM,
+    shingle_n: int = config.SHINGLE_SIZE,
+) -> DataFrame:
+    """Drop every row that has a verified near-duplicate with a smaller id.
+
+    One LSH pass (non-transitive: keeps the min-id representative of each
+    *pairwise* duplicate relation; the reference's union-find closure
+    (deduplicate.py:37-49) corresponds to iterating this to a fixpoint —
+    documented semantic difference, same as any scalable LSH dedup).
+    """
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    cands = candidate_pairs(lsh_bands(sig, id_col), id_col)
+    verified = jaccard_pairs(
+        df, id_col, text_col, shingle_n, min_jaccard, pairs=cands
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def exact_dedup_normalized(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup on whitespace-normalized lowercased text, keep min id.
+
+    The scalable form of commons.py:344-372 keep-first: min(id) per
+    normalized-text group via one aggregation (no window, no sort).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " "))
+    keep = (
+        df.withColumn("_k", norm)
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="inner")
+
+
+# --- SimHash ---
+
+def simhash32(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """32-bit SimHash over word unigrams (md5-derived bits, portable).
+
+    Bit j of a word = parity of the ASCII code of hex char j of its md5 —
+    chosen over integer hex parsing because ``ascii(substr(md5(w),j,1)) % 2``
+    evaluates identically in Spark, Python and DuckDB (the correctness
+    oracle), while hex→int casts don't exist portably. Each word contributes
+    ±1 per bit position; the sign of each positional sum is the fingerprint
+    bit. Near-duplicates land at small Hamming distance. One explode + one
+    groupBy with 32 conditional-sum aggregates (single shuffle).
+    """
+    w = df.select(
+        F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
+    ).filter(F.col("_w") != "")
+    w = w.withColumn("_h", F.md5(F.col("_w")))
+    aggs = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.col("_h"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(32)
+    ]
+    sums = w.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(32):
+        bit = F.when(F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else (fp + bit)
+    return sums.select(F.col(id_col), fp.alias(out_col))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

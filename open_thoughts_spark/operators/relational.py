@@ -1,0 +1,287 @@
+"""Relational building blocks — the dataset-function library re-expressed.
+
+Reference: the YAML-callable functions in
+/root/reference/open_thoughts_3/dcft/data_strategies/commons.py (855 LoC) and
+the engine operators mix/concatenate/merge/truncate/shard/group_by
+(/root/reference/open_thoughts_3/engine/operators/*.py). Each function here
+is a thin declarative plan — Catalyst does pushdown/pruning/join selection —
+with explicit notes where the reference's imperative semantics (keep-*first*,
+seeded shuffles) need a deterministic Spark formulation.
+
+Determinism convention: anywhere the reference uses a seeded RNG over an
+implicitly ordered table (uniform_sample_fixed, stratified_sample, mix), we
+key randomness on a hash of row content instead (``xxhash64``/``md5``) —
+partition-layout-independent, reproducible at any parallelism, and therefore
+also expressible in the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- filters (commons.py:19-20, 174-209, 606-649, 415-454) ---
+
+def remove_nones(df: DataFrame, column: str) -> DataFrame:
+    """commons.py:19-20 — drop rows with NULL in ``column``."""
+    return df.filter(F.col(column).isNotNull())
+
+
+def filter_by_values(
+    df: DataFrame,
+    column: str,
+    include: list | None = None,
+    exclude: list | None = None,
+) -> DataFrame:
+    """commons.py:174-209 — include/exclude rows by value list (exactly one)."""
+    if (include is None) == (exclude is None):
+        raise ValueError("exactly one of include/exclude must be given")
+    if include is not None:
+        return df.filter(F.col(column).isin(include))
+    return df.filter(~F.col(column).isin(exclude))
+
+
+def select_rows(df: DataFrame, conditions: dict) -> DataFrame:
+    """commons.py:614-626 — conjunctive equality predicates."""
+    pred = reduce(lambda a, b: a & b, [F.col(k) == v for k, v in conditions.items()])
+    return df.filter(pred)
+
+
+def select_rows_regex(df: DataFrame, column: str, pattern: str) -> DataFrame:
+    """commons.py:606-611 — keep rows where column matches regex."""
+    return df.filter(F.col(column).rlike(pattern))
+
+
+def filter_truthy(df: DataFrame, column: str, keep_truthy: bool = True) -> DataFrame:
+    """commons.py:415-454 — truthiness filter (boolean column form)."""
+    c = F.col(column)
+    return df.filter(c if keep_truthy else ~c)
+
+
+# --- projection / rename (commons.py:113-115, 274-314, 317-336) ---
+
+def keep_only_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.select(*columns)
+
+
+def remove_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.drop(*columns)
+
+
+def force_rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """commons.py:317-336 — rename, clobbering existing target names."""
+    df = df.drop(*[t for t in mapping.values() if t in df.columns and t not in mapping])
+    for src, dst in mapping.items():
+        df = df.withColumnRenamed(src, dst)
+    return df
+
+
+# --- dedup keep-first (commons.py:344-402) ---
+
+def dedup_on_columns(
+    df: DataFrame, columns: list[str], order_by: list[str]
+) -> DataFrame:
+    """commons.py:344-372 — exact dedup keeping the FIRST row per key.
+
+    pandas ``drop_duplicates(keep="first")`` relies on implicit row order;
+    Spark has none, so "first" must be defined by ``order_by`` — a
+    ``row_number`` window, shuffling once on the dedup key.
+    """
+    w = Window.partitionBy(*columns).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- repetition / upsampling (commons.py:131-142, 547-572) ---
+
+def repeat_dataset(df: DataFrame, n: int) -> DataFrame:
+    """commons.py:547-572 — repeat each row n times (explode, no driver loop)."""
+    return df.withColumn(
+        "_r", F.explode(F.array_repeat(F.lit(1), n))
+    ).drop("_r")
+
+
+def add_row_ids(df: DataFrame, order_by: list[str], out: str = "row_id") -> DataFrame:
+    """commons.py:824-841 — sequential id; stable because explicitly ordered.
+
+    Global ``row_number`` serializes into one partition — fine for the small
+    tables the reference uses it on; for huge tables prefer
+    ``zipWithIndex``-style ``monotonically_increasing_id`` + rank fixup.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(out, F.row_number().over(w))
+
+
+# --- sampling (commons.py:583-603; _B2_Dedup/utils.py:5-50) ---
+
+def uniform_sample_fixed(
+    df: DataFrame, n: int, key_cols: list[str], salt: str = "sample"
+) -> DataFrame:
+    """commons.py:583-596 — seeded shuffle + take N, made deterministic by
+    ordering on a content hash instead of rand(seed) (partition-independent)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))
+    w = Window.orderBy(h, *key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, per_stratum: int, key_cols: list[str],
+    salt: str = "strat",
+) -> DataFrame:
+    """_B2_Dedup/utils.py:5-50 — equal-count sample per stratum; hash-keyed
+    for determinism; single shuffle on the stratum column."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))
+    w = Window.partitionBy(strata_col).orderBy(h, *key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_stratum)
+        .drop("_rn")
+    )
+
+
+# --- top-k / rank filters (_B2_Filtering/utils.py:4-29; AskLLM/utils.py:4-32;
+#     S1Ablation/utils.py:12) ---
+
+def filter_top_n(
+    df: DataFrame, score_col: str, n: int, tiebreak: list[str]
+) -> DataFrame:
+    """_B2_Filtering/utils.py:4-29 — global top-N by score. Catalyst plans
+    ORDER BY + LIMIT as TakeOrderedAndProject (per-partition top-N + merge —
+    no global sort)."""
+    return df.orderBy(F.desc(score_col), *tiebreak).limit(n)
+
+
+def filter_rank(df: DataFrame, score_col: str, top_fraction: float) -> DataFrame:
+    """AskLLM/utils.py:4-32 — keep top fraction by score (percent_rank)."""
+    w = Window.orderBy(F.desc(score_col))
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= top_fraction)
+        .drop("_pr")
+    )
+
+
+def filter_longest_entries(df: DataFrame, text_col: str, n: int, tiebreak: list[str]) -> DataFrame:
+    """S1Ablation/utils.py:12 — keep the N longest texts."""
+    return df.orderBy(F.desc(F.length(text_col)), *tiebreak).limit(n)
+
+
+# --- unions (mix_operator.py:94-104, concatenate_operator.py:75-97) ---
+
+def concatenate(dfs: list[DataFrame], shard_ids: list[str] | None = None) -> DataFrame:
+    """concatenate_operator.py — UNION ALL with optional provenance column."""
+    if shard_ids:
+        dfs = [
+            d.withColumn("shard_id", F.lit(sid)) for d, sid in zip(dfs, shard_ids)
+        ]
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def mix(
+    dfs: list[DataFrame], key_cols: list[str], shard_ids: list[str] | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """mix_operator.py:94-104 — concat + seeded shuffle. The shuffle becomes a
+    deterministic hash ordering (same rationale as uniform_sample_fixed)."""
+    u = concatenate(dfs, shard_ids)
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))
+    return u.orderBy(h)
+
+
+# --- merge / left-enrichment join (merge_operator.py:86-168) ---
+
+def merge_left_enrich(
+    base: DataFrame, other: DataFrame, join_col: str, fill_value=None
+) -> DataFrame:
+    """merge_operator.py — start from ``base``, add only NEW columns from
+    ``other``, fill only nulls in overlapping columns. The reference chunks
+    through temp CSVs to bound memory; Spark's shuffle join replaces that.
+    If ``other`` is small, Catalyst broadcasts it (AQE or the 64 MB
+    autoBroadcast threshold)."""
+    new_cols = [c for c in other.columns if c != join_col and c not in base.columns]
+    overlap = [c for c in other.columns if c != join_col and c in base.columns]
+    right = other.select(
+        join_col,
+        *[F.col(c).alias(f"_o_{c}") for c in overlap],
+        *new_cols,
+    )
+    out = base.join(right, on=join_col, how="left")
+    for c in overlap:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_o_{c}"))).drop(f"_o_{c}")
+    if fill_value is not None:
+        out = out.na.fill(fill_value, subset=new_cols)
+    return out
+
+
+# --- truncate / shard / group_by (truncate_operator.py, shard_operator.py,
+#     group_by_operator.py) ---
+
+def truncate(df: DataFrame, n: int) -> DataFrame:
+    """truncate_operator.py:57-123 — global LIMIT."""
+    return df.limit(n)
+
+
+def shard(df: DataFrame, num_shards: int) -> DataFrame:
+    """shard_operator.py:79-117 — repartition into n shards (round-robin)."""
+    return df.repartition(num_shards)
+
+
+def group_by_partition(df: DataFrame, columns: list[str], num_partitions: int) -> DataFrame:
+    """group_by_operator.py:95-113 — co-locate rows by key hash. (The
+    reference's own implementation has a live NameError and cannot run;
+    Spark's hash repartition is the working equivalent.)"""
+    return df.repartition(num_partitions, *columns)
+
+
+# --- string ops (commons.py:518-526, 760-788, 744-757) ---
+
+def concatenate_columns(
+    df: DataFrame, columns: list[str], out: str,
+    start: str = "", sep: str = " ", end: str = "",
+) -> DataFrame:
+    """commons.py:760-788 — string concat with start/sep/end tokens."""
+    return df.withColumn(
+        out, F.concat(F.lit(start), F.concat_ws(sep, *columns), F.lit(end))
+    )
+
+
+def strip_column(df: DataFrame, column: str, chars: str = " \\t\\n\\x0B\\f\\r") -> DataFrame:
+    """commons.py:518-526 — str.strip(chars)."""
+    cls = f"[{chars}]"
+    return df.withColumn(
+        column, F.regexp_replace(F.col(column), f"^{cls}+|{cls}+$", "")
+    )
+
+
+# --- two-phase domain aggregation (WebInstruct/utils.py:122-192) ---
+
+def count_and_filter_low_frequency(
+    df: DataFrame, group_col: str, min_count: int
+) -> DataFrame:
+    """WebInstruct/utils.py:122-167 — the reference hand-rolls partial
+    (per-shard) + final count aggregation; Catalyst's HashAggregate already
+    does partial/final automatically, so this is a single groupBy+HAVING."""
+    return (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+
+
+def annotate_membership(
+    df: DataFrame, dim: DataFrame, key: str, flag_col: str
+) -> DataFrame:
+    """WebInstruct/utils.py:170-192 — semi-join-style membership annotation;
+    the dim side is broadcast (small filtered dimension)."""
+    marked = F.broadcast(dim.select(key).distinct().withColumn(flag_col, F.lit(True)))
+    return df.join(marked, on=key, how="left").na.fill(False, subset=[flag_col])

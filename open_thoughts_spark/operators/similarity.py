@@ -1,0 +1,229 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's embedding ops: SentenceTransformer embedding generation
+(/root/reference/open_thoughts_3/engine/operators/embedding_operator.py),
+FAISS greedy online near-dup filtering
+(engine/operators/similarity_filtering_operator.py) and greedy cosine
+selection (dcft/data_strategies/Alpaca/utils.py:245-286). The FAISS actor is
+a sequential, order-dependent scan — inherently single-node; the Spark-native
+equivalents here are:
+
+- ``knn_bruteforce``: exact top-k cosine neighbors, broadcast query set, one
+  pass over the corpus, two-phase top-k (per-partition then global) so no
+  full n_queries × n_corpus shuffle ever happens;
+- ``cosine_pairs``: threshold-based near-dup pairs within blocks;
+- ``ann_lsh``: random-hyperplane LSH bucketing (deterministic planes from a
+  seeded RandomState inside a vectorized pandas UDF) — the scale path that
+  replaces FAISS IndexFlat for 10^9+ vectors.
+
+Arithmetic notes: dot products fold left-to-right over array<double> via
+``F.aggregate`` (deterministic order → reproducible across engines); ranks
+are decided on round(sim, 6) with id tie-breaks so oracle comparisons are
+stable integers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Left-to-right fold — order-deterministic double summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Two-phase top-k: per-partition prune, then exact global top-k.
+
+    Phase 1 windows over (group, spark_partition_id) — no shuffle, cuts each
+    partition to k rows per group. Phase 2 windows over group on the pruned
+    remainder. At 10^12 rows the shuffle carries ≤ k·P rows per group instead
+    of the whole corpus.
+    """
+    w1 = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × one corpus pass.
+
+    Returns (query_id, neighbor_id, rank, cosine_r4). Self-matches excluded.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    sim = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_sim6", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+    )
+    top = topk_per_group(
+        sim, ["query_id"], [F.desc("_sim6"), F.asc("neighbor_id")], k
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round(F.col("_sim6"), 4).alias("cosine_r4"),
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold, optionally only
+    within ``block_col`` blocks (embedding-based near-dup detection)."""
+    base = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col("_v").alias("_vb"),
+    )
+    on = [block_col] if block_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Drop rows with a near-identical embedding at a smaller id — the batch
+    equivalent of the FAISS greedy online filter (similarity_filtering_
+    operator.py); keep-min-id replaces arrival order as the tiebreak."""
+    losers = (
+        cosine_pairs(df, id_col, vec_col, min_cosine, block_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --- ANN: random-hyperplane LSH (scale path) ---
+
+def _planes(dim: int, n_planes: int) -> np.ndarray:
+    rs = np.random.RandomState(271828)  # fixed — part of the operator contract
+    return rs.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 12,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Attach a sign-pattern bucket id (int) from fixed random hyperplanes.
+
+    Vectorized pandas UDF: the whole Arrow batch is one (B × dim) @ (dim × P)
+    matmul. Near-identical vectors share buckets; ANN = exact search within
+    bucket (plus optional multi-probe)."""
+    planes_holder: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("long")
+    def _bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            mat = np.stack(batch.to_numpy())
+            dim = mat.shape[1]
+            if dim not in planes_holder:
+                planes_holder[dim] = _planes(dim, n_planes)
+            signs = (mat.astype(np.float64) @ planes_holder[dim].T) > 0
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            yield pd.Series(signs @ weights)
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides, exact cosine within bucket.
+
+    Recall < 1.0 by construction (single-probe); the bucket join replaces the
+    cross join so cost scales with bucket occupancy, not corpus size."""
+    cb = with_lsh_bucket(corpus, vec_col, n_planes)
+    qb = with_lsh_bucket(queries, vec_col, n_planes)
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col("lsh_bucket"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("lsh_bucket"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
+    sim = (
+        c.join(q, on="lsh_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_sim6", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+    )
+    return topk_per_group(
+        sim, ["query_id"], [F.desc("_sim6"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", F.round("_sim6", 4).alias("cosine_r4"))

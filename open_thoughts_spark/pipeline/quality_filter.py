@@ -44,6 +44,8 @@ def quality_filter(
     langid_mode: str = "native",
     with_turn_order: bool = True,
     with_conv_stats: bool = False,
+    compute_ppl: bool = True,
+    role_col: str | None = "role",
 ) -> DataFrame:
     """Attach lang/lang_prob, bits_per_char, rule flags, drop_reason, keep,
     scrubbed_text (and optionally window/conv-level columns) to transcripts.
@@ -53,8 +55,13 @@ def quality_filter(
     fastText model plugs into).
     """
     scored = with_langid_udf(df) if langid_mode == "udf" else with_langid(df)
-    scored = with_perplexity(scored)
-    flagged = with_quality_flags(scored)
+    if compute_ppl:
+        scored = with_perplexity(scored)
+    flagged = with_quality_flags(
+        scored,
+        role_col=role_col,
+        ppl_col="bits_per_char" if compute_ppl else None,
+    )
     decided = with_decision(flagged)
     out = with_scrubbed_text(decided)
     if with_turn_order:

@@ -133,7 +133,11 @@ def with_quality_flags(
         flag = F.coalesce(flags[name], F.lit(False))
         roles = RULE_ROLES.get(name)
         if roles is not None and role_col is not None:
-            flag = flag & F.col(role_col).isin(*sorted(roles))
+            # role gate OUTSIDE the flag: CASE WHEN short-circuits in codegen,
+            # so the (expensive) regex never runs for non-applicable roles
+            flag = F.when(
+                F.col(role_col).isin(*sorted(roles)), flag
+            ).otherwise(F.lit(False))
         df = df.withColumn(f"rule_{name}", flag)
     return df
 

@@ -38,6 +38,11 @@ def get_spark(
         # parallel without tiny-task overhead; cluster deployments override.
         shuffle_partitions = cpus
 
+    if master.startswith("local[") and master[6:-1].isdigit():
+        min_scan_partitions = 2 * int(master[6:-1])
+    else:
+        min_scan_partitions = shuffle_partitions
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,6 +56,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep scan parallelism ∝ cores even for small/bin-packed file sets:
+        # without this, a handful of small parquet files collapses into 1-2
+        # input partitions (128MB maxPartitionBytes + 4MB openCost) and the
+        # whole job runs serial regardless of executor count
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        .config("spark.sql.files.minPartitionNum", str(min_scan_partitions))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
