@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--langid-mode", choices=["native", "udf"], default="native")
     p.add_argument("--master", default=None, help="override spark master")
+    p.add_argument(
+        "--checkpoint-dir",
+        help="enable resumable execution: stage snapshots + manifest live here; "
+        "rerunning with the same dir resumes from the last durable stage",
+    )
     args = p.parse_args(argv)
 
     from open_thoughts_spark.session import get_spark
@@ -43,9 +48,32 @@ def main(argv: list[str] | None = None) -> int:
 
         write_transcripts(spark, args.input, n_convs=args.generate_fixture, seed=args.seed)
 
-    result = run_pipeline(
-        spark, args.input, output_dir=args.output, langid_mode=args.langid_mode
-    )
+    resumed = []
+    if args.checkpoint_dir:
+        from open_thoughts_spark.pipeline import run_checkpointed
+        from open_thoughts_spark.pipeline.metrics import (
+            drop_reason_metrics,
+            partition_lineage,
+        )
+        from pyspark.sql import functions as F
+
+        decided, events = run_checkpointed(
+            spark, args.input, args.checkpoint_dir, langid_mode=args.langid_mode
+        )
+        resumed = [e for e in events if e["action"] == "resumed"]
+        result = {
+            "decisions": decided,
+            "filtered": decided.filter(F.col("keep")).drop("keep", "drop_reason"),
+            "metrics": drop_reason_metrics(decided),
+            "lineage": partition_lineage(decided),
+        }
+        if args.output:
+            for name, df in result.items():
+                df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+    else:
+        result = run_pipeline(
+            spark, args.input, output_dir=args.output, langid_mode=args.langid_mode
+        )
     metrics = {r["reason"]: r["rows"] for r in result["metrics"].collect()}
     total = sum(metrics.values())
     elapsed = time.time() - t0
@@ -57,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
                 "drop_reasons": {k: v for k, v in sorted(metrics.items()) if k != "kept"},
                 "elapsed_sec": round(elapsed, 2),
                 "turns_per_sec": round(total / elapsed, 1) if elapsed > 0 else None,
+                "resumed_stages": [e["stage"] for e in resumed],
                 "output": args.output,
             }
         )

@@ -1,0 +1,157 @@
+"""Text classifier train + score — the fastText operator pair, hermetic.
+
+Reference semantics being reproduced (shape-for-shape):
+- ``train_fasttext``: collect labeled texts driver-side, train supervised
+  model, persist, emit a metadata row (/root/reference/open_thoughts_3/
+  engine/operators/train_fasttext_operator.py:52-256 — training is
+  inherently single-node there too: it calls fasttext.train_supervised on a
+  written-out corpus file);
+- ``fasttext`` scoring op: batched predict, probability of a target label,
+  then one of three modes — just-add-scores, threshold filter, or
+  top-percentile keep (engine/operators/fasttext_operator.py:100-158).
+
+fastText isn't installed here, so the model is a hashed-feature multinomial
+Naive Bayes (public-textbook construction): deterministic crc32 token
+hashing into ``dim`` buckets, add-one smoothing, softmax probabilities. The
+Spark integration is the part that matters and is identical to what a real
+fastText model would use: train on a driver-side sample (optionally capped),
+broadcast the dense model arrays, score inside a scalar-iterator pandas UDF
+with the model materialized once per executor.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class NBModel:
+    classes: list[str]
+    dim: int
+    log_prior: np.ndarray  # (C,)
+    log_lik: np.ndarray  # (C, dim)
+
+    def to_arrays(self) -> dict:
+        return {
+            "classes": self.classes,
+            "dim": self.dim,
+            "log_prior": self.log_prior,
+            "log_lik": self.log_lik,
+        }
+
+
+def _token_ids(text: str, dim: int) -> np.ndarray:
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    return np.array([zlib.crc32(t.encode()) % dim for t in toks], dtype=np.int64)
+
+
+def train_text_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 2**15,
+    max_rows: int = 200_000,
+    seed: int = 42,
+) -> NBModel:
+    """Driver-side training on a (capped, hash-sampled) labeled DataFrame.
+
+    The cap mirrors the reference's practice of training on a bounded
+    written-out corpus; sampling is content-keyed (deterministic at any
+    parallelism), not rand()."""
+    n = df.count()
+    sample = df.select(text_col, label_col)
+    if n > max_rows:
+        keyed = sample.withColumn(
+            "_k", F.abs(F.xxhash64(F.col(text_col), F.lit(seed)))
+        )
+        w = Window.orderBy("_k")
+        sample = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_rows)
+            .drop("_k", "_rn")
+        )
+    pdf = sample.toPandas()
+    classes = sorted(pdf[label_col].unique())
+    cidx = {c: i for i, c in enumerate(classes)}
+    counts = np.ones((len(classes), dim), dtype=np.float64)  # add-one smoothing
+    prior = np.zeros(len(classes), dtype=np.float64)
+    for text, label in zip(pdf[text_col].fillna(""), pdf[label_col]):
+        ids = _token_ids(text, dim)
+        np.add.at(counts[cidx[label]], ids, 1.0)
+        prior[cidx[label]] += 1
+    log_lik = np.log(counts / counts.sum(axis=1, keepdims=True))
+    log_prior = np.log((prior + 1) / (prior.sum() + len(classes)))
+    return NBModel(classes, dim, log_prior, log_lik)
+
+
+def score_batch(model: NBModel, texts: pd.Series, target_label: str) -> pd.Series:
+    """Probability of ``target_label`` per text (softmax over class scores)."""
+    t_i = model.classes.index(target_label)
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, text in enumerate(texts.fillna("")):
+        ids = _token_ids(text, model.dim)
+        scores = model.log_prior.copy()
+        if len(ids):
+            scores = scores + model.log_lik[:, ids].sum(axis=1)
+        scores -= scores.max()
+        p = np.exp(scores)
+        out[i] = p[t_i] / p.sum()
+    return pd.Series(out, index=texts.index)
+
+
+def classifier_score_udf(spark, model: NBModel, target_label: str):
+    """Broadcast the model arrays; score in Arrow batches (the
+    fasttext_operator batched-predict harness, batch ≈ 500+ texts)."""
+    bc = spark.sparkContext.broadcast(model.to_arrays())
+
+    @F.pandas_udf("double")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value
+        local = NBModel(m["classes"], m["dim"], m["log_prior"], m["log_lik"])
+        for batch in batches:
+            yield score_batch(local, batch, target_label)
+
+    return _udf
+
+
+def classifier_filter(
+    spark,
+    df: DataFrame,
+    model: NBModel,
+    text_col: str,
+    target_label: str,
+    score_col: str = "_clf_score",
+    filter_threshold: float | None = 0.5,
+    top_percentage: float | None = None,
+    just_add_scores: bool = False,
+) -> DataFrame:
+    """The fasttext operator's three modes (fasttext_operator.py:143-158):
+
+    - ``just_add_scores``: annotate only;
+    - ``top_percentage``: keep the top p% by score (reference uses
+      np.percentile over collected scores; here percent_rank — one window,
+      no driver collect);
+    - else: ``score > filter_threshold``.
+    """
+    scored = df.withColumn(
+        score_col, classifier_score_udf(spark, model, target_label)(F.col(text_col))
+    )
+    if just_add_scores:
+        return scored
+    if top_percentage is not None:
+        w = Window.orderBy(F.desc(score_col))
+        return (
+            scored.withColumn("_pr", F.percent_rank().over(w))
+            .filter(F.col("_pr") <= top_percentage / 100.0)
+            .drop("_pr")
+        )
+    return scored.filter(F.col(score_col) > filter_threshold)

@@ -93,6 +93,49 @@ RESULT_COLUMNS = [
 ]
 
 
+def checkpointed_stages(langid_mode: str = "native") -> list:
+    """The pipeline as named checkpoint stages (see pipeline/checkpoint.py).
+
+    Stage boundaries are chosen where recomputation is expensive (model
+    scoring) vs cheap (final projection): score → decide → finalize.
+    """
+    from open_thoughts_spark.pipeline.checkpoint import Stage
+
+    def _score(df: DataFrame) -> DataFrame:
+        scored = with_langid_udf(df) if langid_mode == "udf" else with_langid(df)
+        return with_perplexity(scored)
+
+    def _decide(df: DataFrame) -> DataFrame:
+        return with_decision(with_quality_flags(df))
+
+    def _finalize(df: DataFrame) -> DataFrame:
+        out = with_scrubbed_text(df)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        out = out.withColumn("turn_rank", F.row_number().over(w))
+        return out.select(*RESULT_COLUMNS, "turn_rank")
+
+    return [
+        Stage("score", _score, {"langid_mode": langid_mode, "model": "marker-v1+tri64-v1"}),
+        Stage("decide", _decide, {"ruleset": "v1"}),
+        Stage("finalize", _finalize, {"scrub": "v1"}),
+    ]
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    langid_mode: str = "native",
+) -> tuple[DataFrame, list[dict]]:
+    """Resumable run: returns (final decisions DataFrame, stage audit events)."""
+    from open_thoughts_spark.pipeline.checkpoint import CheckpointedPipeline
+
+    df = read_transcripts(spark, input_path)
+    pipe = CheckpointedPipeline(spark, checkpoint_dir, checkpointed_stages(langid_mode))
+    out = pipe.run(df, input_fingerprint=input_path)
+    return out, pipe.events
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,

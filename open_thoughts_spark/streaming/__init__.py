@@ -1,0 +1,11 @@
+from open_thoughts_spark.streaming.pipeline import (
+    read_transcripts_stream,
+    stream_quality_filter,
+    streaming_drop_metrics,
+)
+
+__all__ = [
+    "read_transcripts_stream",
+    "stream_quality_filter",
+    "streaming_drop_metrics",
+]

@@ -1,0 +1,92 @@
+"""Checkpoint/resume semantics: snapshot hit/miss, byte-identical resume,
+invalidation on config change (reference: ancestor-hash cache,
+dag.py:111-121 + SUCCESS flags, synthetic_data_manager.py:303-371)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.pipeline import (
+    CheckpointedPipeline,
+    Stage,
+    run_checkpointed,
+    stage_hash,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_stage_hash_chain():
+    h1 = stage_hash("a", {"x": 1}, "root")
+    assert h1 == stage_hash("a", {"x": 1}, "root")
+    assert h1 != stage_hash("a", {"x": 2}, "root")
+    assert h1 != stage_hash("a", {"x": 1}, "other")
+    assert h1 != stage_hash("b", {"x": 1}, "root")
+
+
+def test_resume_is_byte_identical_and_skips(spark, transcripts_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out1, ev1 = run_checkpointed(spark, transcripts_path, ckpt)
+    r1 = _rows(out1)
+    assert all(e["action"] == "computed" for e in ev1)
+
+    out2, ev2 = run_checkpointed(spark, transcripts_path, ckpt)
+    r2 = _rows(out2)
+    # second run: final stage resumed straight from snapshot, nothing recomputed
+    assert ev2[-1]["action"] == "resumed"
+    assert sum(1 for e in ev2 if e["action"] == "computed") == 0
+    assert r1 == r2
+
+
+def test_partial_resume_after_lost_final_stage(spark, transcripts_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    out1, _ = run_checkpointed(spark, transcripts_path, ckpt)
+    r1 = _rows(out1)
+    # simulate a crash that lost the last stage's snapshot
+    import shutil, json
+
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = json.load(f)
+    final = [e for e in manifest["stages"].values() if e["stage"] == "finalize"]
+    assert final
+    shutil.rmtree(final[0]["path"])
+
+    out2, ev2 = run_checkpointed(spark, transcripts_path, ckpt)
+    actions = {e["stage"]: e["action"] for e in ev2}
+    assert actions["decide"] == "resumed"  # earlier snapshot reused
+    assert actions["finalize"] == "computed"  # only the lost stage re-ran
+    assert _rows(out2) == r1
+
+
+def test_config_change_invalidates(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    calls = []
+
+    def mk(tag, mult):
+        def fn(d):
+            calls.append(tag)
+            return d.withColumn("v", F.col("v") * mult)
+
+        return fn
+
+    ckpt = str(tmp_path / "ckpt3")
+    p1 = CheckpointedPipeline(
+        spark, ckpt, [Stage("s1", mk("s1", 3), {"mult": 3})]
+    )
+    p1.run(df, "fp")
+    assert calls == ["s1"]
+    # same config → resumed
+    p2 = CheckpointedPipeline(spark, ckpt, [Stage("s1", mk("s1b", 3), {"mult": 3})])
+    out = p2.run(df, "fp")
+    assert calls == ["s1"]
+    # changed config → recomputed with new semantics
+    p3 = CheckpointedPipeline(spark, ckpt, [Stage("s1", mk("s1c", 5), {"mult": 5})])
+    out3 = p3.run(df, "fp")
+    assert "s1c" in calls
+    assert out3.agg(F.max("v")).collect()[0][0] == 99 * 2 * 5
+    assert out.agg(F.max("v")).collect()[0][0] == 99 * 2 * 3

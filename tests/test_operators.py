@@ -1,0 +1,236 @@
+"""Unit tests: relational building blocks, dedup, similarity, sources,
+classifier, embedding, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.operators import dedup, relational, similarity
+from open_thoughts_spark.operators.embedding import embed_texts
+from open_thoughts_spark.functions.classifier import (
+    classifier_filter,
+    train_text_classifier,
+)
+
+
+# --- relational ---
+
+def test_dedup_on_columns_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "b", "w")],
+        "id int, k string, v string",
+    )
+    out = relational.dedup_on_columns(df, ["k"], ["id"])
+    got = sorted((r["id"], r["k"]) for r in out.collect())
+    assert got == [(1, "a"), (3, "b")]
+
+
+def test_merge_left_enrich_null_fill(spark):
+    base = spark.createDataFrame(
+        [(1, None, "keep"), (2, "have", None)], "k int, a string, b string"
+    )
+    other = spark.createDataFrame(
+        [(1, "filled", "new1"), (2, "clobber?", "new2")], "k int, a string, c string"
+    )
+    out = relational.merge_left_enrich(base, other, "k")
+    rows = {r["k"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+    # null a filled from other; existing a NOT clobbered; new col c added
+    assert rows[1] == ("filled", "keep", "new1")
+    assert rows[2] == ("have", None, "new2")
+
+
+def test_uniform_sample_deterministic(spark):
+    df = spark.range(1000).withColumn("k", F.col("id").cast("string"))
+    a = sorted(r["id"] for r in relational.uniform_sample_fixed(df, 50, ["k"]).collect())
+    b = sorted(r["id"] for r in relational.uniform_sample_fixed(df.repartition(7), 50, ["k"]).collect())
+    assert len(a) == 50
+    assert a == b  # partition-layout independent
+
+
+def test_stratified_sample(spark):
+    df = spark.range(300).withColumn("s", (F.col("id") % 3).cast("string"))
+    out = relational.stratified_sample(df, "s", 10, ["id"])
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+
+
+def test_repeat_and_truncate(spark):
+    df = spark.range(10)
+    assert relational.repeat_dataset(df, 3).count() == 30
+    assert relational.truncate(df, 4).count() == 4
+
+
+def test_filter_rank(spark):
+    df = spark.range(100).withColumn("score", F.col("id").cast("double"))
+    out = relational.filter_rank(df, "score", 0.1)
+    got = sorted(r["id"] for r in out.collect())
+    # percent_rank = (rank-1)/(n-1); rank 11 → 10/99 > 0.1, so exactly top 10
+    assert got == list(range(90, 100))
+
+
+def test_mix_and_concatenate(spark):
+    a = spark.range(5).withColumn("src", F.lit("a"))
+    b = spark.range(5, 9).withColumn("src", F.lit("b"))
+    u = relational.concatenate([a, b], shard_ids=["s1", "s2"])
+    assert u.count() == 9
+    assert set(r["shard_id"] for r in u.collect()) == {"s1", "s2"}
+    m = relational.mix([a, b], key_cols=["id"])
+    assert sorted(r["id"] for r in m.collect()) == list(range(9))
+
+
+# --- dedup ---
+
+def test_exact_dedup_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "id int, text string",
+    )
+    out = dedup.exact_dedup_normalized(df, "id", "text")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_dedup_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tonight")),  # near-dup of 1
+        (3, "completely unrelated content about distributed query engines and joins"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = dedup.minhash_dedup(df, "id", "text", min_jaccard=0.5)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [1, 3]  # 2 and 4 deduped against 1
+
+
+def test_simhash_near_for_near_texts(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    fp = {r["id"]: r["simhash"] for r in dedup.simhash32(df, "id", "text").collect()}
+    d12 = bin(fp[1] ^ fp[2]).count("1")
+    d13 = bin(fp[1] ^ fp[3]).count("1")
+    assert d12 < d13
+
+
+# --- similarity ---
+
+def test_knn_and_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 16)).astype(float)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # near-dup pair
+    rows = [(i, vecs[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=3)
+    top = {r["rank"]: r["neighbor_id"] for r in out.collect()}
+    assert top[1] == 1  # nearest neighbor of 0 is its perturbed copy
+
+    nd = similarity.embedding_near_dup(df, min_cosine=0.99)
+    assert sorted(r["vec_id"] for r in nd.collect()) == [0] + list(range(2, 40))
+
+
+# --- sources ---
+
+def test_json_source_and_shard_sampling(spark, tmp_path):
+    from open_thoughts_spark.sources import read_jsonl_sharded, sample_shards
+
+    for i in range(6):
+        with open(tmp_path / f"part-{i}.jsonl", "w") as f:
+            for j in range(10):
+                f.write(json.dumps({"id": i * 10 + j, "text": f"doc {i}-{j}"}) + "\n")
+    picked = sample_shards(str(tmp_path), "*.jsonl", num_shards=3, seed=314)
+    assert len(picked) == 3
+    assert picked == sample_shards(str(tmp_path), "*.jsonl", num_shards=3, seed=314)
+    df = read_jsonl_sharded(
+        spark, str(tmp_path), "*.jsonl", num_shards=3, seed=314,
+        schema="id long, text string", source_column=("src", "jsonl"),
+    )
+    assert df.count() == 30
+    assert df.columns == ["id", "text", "src"]
+
+
+def test_sink_metadata(spark, tmp_path):
+    from open_thoughts_spark.sources import upload_metadata, write_table
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    write_table(df, str(tmp_path / "out"))
+    meta = upload_metadata(spark, df, "catalog.db.t", ["id", "v"]).collect()[0]
+    assert meta["length"] == 100
+    meta2 = upload_metadata(spark, df.repartition(7), "catalog.db.t", ["id", "v"]).collect()[0]
+    assert meta["fingerprint"] == meta2["fingerprint"]  # order-insensitive
+
+
+# --- classifier ---
+
+def test_classifier_train_score_filter(spark):
+    pos = [(f"p{i}", "excellent great wonderful amazing quality content", "good") for i in range(30)]
+    neg = [(f"n{i}", "terrible awful spam junk garbage noise", "bad") for i in range(30)]
+    df = spark.createDataFrame(pos + neg, "id string, text string, label string")
+    model = train_text_classifier(df, "text", "label", dim=2**12)
+    scored = classifier_filter(
+        spark, df, model, "text", "good", just_add_scores=True
+    )
+    rows = {r["id"]: r["_clf_score"] for r in scored.collect()}
+    assert rows["p0"] > 0.9 and rows["n0"] < 0.1
+
+    kept = classifier_filter(spark, df, model, "text", "good", filter_threshold=0.5)
+    assert sorted(r["id"] for r in kept.collect()) == sorted(p[0] for p in pos)
+
+    top = classifier_filter(spark, df, model, "text", "good", top_percentage=50.0)
+    assert top.count() == 30
+
+
+# --- embedding ---
+
+def test_embed_texts_deterministic_and_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "x " * 600)], "id int, text string"
+    )
+    out = {r["id"]: r["embedding"] for r in embed_texts(df, dim=32).collect()}
+    import numpy as np
+
+    assert abs(np.linalg.norm(out[1]) - 1.0) < 1e-9
+    assert abs(np.linalg.norm(out[2]) - 1.0) < 1e-9  # chunked + pooled path
+    out2 = {r["id"]: r["embedding"] for r in embed_texts(df.repartition(3), dim=32).collect()}
+    assert out == out2
+
+
+# --- multimodal ---
+
+def test_multimodal_plumbing(spark):
+    from open_thoughts_spark.multimodal import (
+        attach_media_metadata,
+        decode_and_featurize,
+        make_synthetic_media,
+        sample_frames,
+    )
+    from open_thoughts_spark.multimodal.media import FEATURE_DIM, decode_kernel
+
+    media = make_synthetic_media(spark, n=30)
+    assert media.count() == 30
+    withmeta = attach_media_metadata(media)
+    assert withmeta.filter(F.col("payload_bytes") != 64).count() == 0  # sha2-512 = 64B
+
+    feats = decode_and_featurize(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    # deterministic across invocations
+    feats2 = {r["media_id"]: r["feature"] for r in decode_and_featurize(media).collect()}
+    assert all(feats2[r["media_id"]] == r["feature"] for r in feats)
+
+    frames = sample_frames(media, every_ms=5000)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.count() >= vids  # >=1 frame per video
+    assert frames.filter(F.col("kind") != "video").count() == 0
+
+    with pytest.raises(NotImplementedError):
+        decode_kernel(b"abc", "image", deterministic_fake=False)
