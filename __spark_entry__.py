@@ -770,6 +770,219 @@ SQL_DOMAIN_FREQUENCY = """
 """
 
 
+# --- conversation reshaping on derived transcripts ---
+
+def q_conv_full_text(spark, sf_dir):
+    """Whole-conversation text reconstruction (collect_list + sort_array)."""
+    from open_thoughts_spark.operators.conversations import concatenate_turns
+
+    tr = derive_transcripts(_t(spark, sf_dir, "documents"))
+    return concatenate_turns(tr, sep=" | ")
+
+
+SQL_CONV_FULL_TEXT = f"""
+    with t as ({DERIVE_TRANSCRIPTS_SQL})
+    select conv_id,
+      string_agg(role || ': ' || text, ' | ' order by turn_idx) as full_text
+    from t group by conv_id
+"""
+
+
+def q_conv_instruction_response(spark, sf_dir):
+    """First user turn → instruction, first assistant turn → response."""
+    from open_thoughts_spark.operators.conversations import (
+        long_to_instruction_response,
+    )
+
+    tr = derive_transcripts(_t(spark, sf_dir, "documents"))
+    return long_to_instruction_response(tr)
+
+
+SQL_CONV_INSTRUCTION_RESPONSE = f"""
+    with t as ({DERIVE_TRANSCRIPTS_SQL})
+    select conv_id,
+      arg_min(text, turn_idx) filter (where role = 'user') as instruction,
+      arg_min(text, turn_idx) filter (where role = 'assistant') as response
+    from t group by conv_id
+"""
+
+
+# --- additional relational coverage ---
+
+def q_uniform_sample(spark, sf_dir):
+    """Seeded (hash-keyed) uniform sample — partition-layout independent."""
+    o = _t(spark, sf_dir, "orders")
+    return relational.uniform_sample_fixed(o, 200, ["o_orderkey"], salt="sample").select(
+        "o_orderkey"
+    )
+
+
+SQL_UNIFORM_SAMPLE = """
+    select o_orderkey from (
+      select o_orderkey, row_number() over (
+        order by md5('sample' || '|' || o_orderkey::varchar), o_orderkey) as rn
+      from orders
+    ) where rn <= 200
+"""
+
+
+def q_events_lag_delta(spark, sf_dir):
+    """Per-user event value delta (lag window, integer cents)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = _cents(F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (cents - F.lag(cents).over(w)).alias("delta_cents"),
+    )
+
+
+SQL_EVENTS_LAG_DELTA = """
+    select event_id, user_id,
+      cast(round(value*100) as bigint) - lag(cast(round(value*100) as bigint))
+        over (partition by user_id order by ts, event_id) as delta_cents
+    from events
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """ROLLUP (region, nation) revenue with grouping_id — agg hierarchy."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+SQL_REGION_ROLLUP = """
+    select r_name, n_name,
+      sum(cast(round(o_totalprice*100) as bigint)) as total_cents,
+      grouping(r_name, n_name) as gid
+    from orders
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by rollup(r_name, n_name)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+    select c_custkey, c_name from customer
+    where not exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_repeat_dataset(spark, sf_dir):
+    """repeat_dataset semantics (upsampling by explode, no driver loop)."""
+    r = _t(spark, sf_dir, "region")
+    return relational.repeat_dataset(r, 3)
+
+
+SQL_REPEAT_DATASET = """
+    select r_regionkey, r_name from region, range(3)
+"""
+
+
+def q_events_dedup_first(spark, sf_dir):
+    """Keep-first dedup per (user, event_type) by time — dedup_on_columns."""
+    ev = _t(spark, sf_dir, "events")
+    kept = relational.dedup_on_columns(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    )
+    return kept.select("event_id", "user_id", "event_type")
+
+
+SQL_EVENTS_DEDUP_FIRST = """
+    select event_id, user_id, event_type from (
+      select event_id, user_id, event_type,
+        row_number() over (partition by user_id, event_type
+                           order by ts, event_id) as rn
+      from events
+    ) where rn = 1
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: hamming <= 10 within lang blocks."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.simhash32(docs, "doc_id", "text")
+    tagged = fp.join(docs.select("doc_id", "lang"), on="doc_id")
+    a = tagged.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "lang"
+    )
+    b = tagged.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "lang"
+    )
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def sql_simhash_neardup():
+    inner = sql_simhash()
+    return f"""
+        with fp as ({inner}),
+        tagged as (
+          select fp.doc_id, fp.simhash, d.lang
+          from fp join documents d on fp.doc_id = d.doc_id
+        )
+        select a.doc_id as id_a, b.doc_id as id_b,
+          bit_count(xor(a.simhash, b.simhash)) as hamming
+        from tagged a join tagged b
+          on a.lang = b.lang and a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 10
+    """
+
+
+def q_embed_and_knn(spark, sf_dir):
+    """End-to-end: embed documents (hermetic encoder UDF) then self-kNN.
+    Model-side hashing — no SQL oracle (rows-only check)."""
+    from open_thoughts_spark.operators.embedding import embed_texts
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    emb = embed_texts(docs, dim=32).select("doc_id", "embedding")
+    return similarity.knn_bruteforce(
+        emb, emb.filter(F.col("doc_id") < 5), id_col="doc_id", k=3
+    )
+
+
+def q_classifier_filter(spark, sf_dir):
+    """Train NB on lang labels, keep docs scored 'en' > 0.5.
+    Model-side training — no SQL oracle (rows-only check)."""
+    from open_thoughts_spark.functions.classifier import (
+        classifier_filter,
+        train_text_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_text_classifier(docs, "text", "lang", dim=2**12)
+    return classifier_filter(
+        spark, docs, model, "text", "en", filter_threshold=0.5
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": q_tpch_q1,
@@ -798,6 +1011,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top5": q_ann_lsh,
         "embedding_neardup_pairs": q_embedding_neardup,
         "domain_frequency_filter": q_domain_frequency,
+        "conv_full_text": q_conv_full_text,
+        "conv_instruction_response": q_conv_instruction_response,
+        "orders_uniform_sample": q_uniform_sample,
+        "events_lag_delta": q_events_lag_delta,
+        "region_rollup_revenue": q_region_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "repeat_dataset_regions": q_repeat_dataset,
+        "events_dedup_first": q_events_dedup_first,
+        "dedup_simhash_neardup": q_simhash_neardup,
+        "embed_docs_knn": q_embed_and_knn,
+        "classifier_lang_filter": q_classifier_filter,
     }
 
 
@@ -828,5 +1052,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce_top5": SQL_KNN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
         "domain_frequency_filter": SQL_DOMAIN_FREQUENCY,
-        # ann_lsh_top5 intentionally omitted: plane generation is model-side
+        "conv_full_text": SQL_CONV_FULL_TEXT,
+        "conv_instruction_response": SQL_CONV_INSTRUCTION_RESPONSE,
+        "orders_uniform_sample": SQL_UNIFORM_SAMPLE,
+        "events_lag_delta": SQL_EVENTS_LAG_DELTA,
+        "region_rollup_revenue": SQL_REGION_ROLLUP,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "repeat_dataset_regions": SQL_REPEAT_DATASET,
+        "events_dedup_first": SQL_EVENTS_DEDUP_FIRST,
+        "dedup_simhash_neardup": sql_simhash_neardup(),
+        # omitted (model-side, rows-only check): ann_lsh_top5,
+        # embed_docs_knn, classifier_lang_filter
     }

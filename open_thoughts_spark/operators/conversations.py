@@ -150,7 +150,7 @@ def long_to_instruction_response(
     """First user turn → instruction, first assistant turn after it →
     response (commons.py:145-166 takes conversation[0]/[1]). Single
     aggregation: min-by-turn_idx per role via sort_array + element_at."""
-    by_role = lambda role: F.element_at(  # noqa: E731
+    by_role = lambda role: F.try_element_at(  # noqa: E731  (null when role absent)
         F.sort_array(
             F.collect_list(
                 F.when(
@@ -159,7 +159,7 @@ def long_to_instruction_response(
                 )
             )
         ),
-        1,
+        F.lit(1),
     )["t"]
     return df.groupBy(id_col).agg(
         by_role("user").alias("instruction"),

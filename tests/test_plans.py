@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the 100 TB story, checked in CI.
+
+These tests pin the *plan shapes* that make the engine scale — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for dims,
+zero shuffles in the per-turn pipeline — so a regression that silently turns
+a broadcast join into a sort-merge join or breaks pushdown fails loudly.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from open_thoughts_spark.pipeline import quality_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_quantity") > 40
+    ).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema must carry ONLY the projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q5_broadcasts_dimension_tables(spark):
+    plan = plan_of(entrymod.q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+
+
+def test_per_turn_pipeline_has_no_shuffle(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    out = quality_filter(df, with_turn_order=False)
+    plan = plan_of(out)
+    # scoring + rules + scrub are narrow: a single map-only chain
+    assert "Exchange" not in plan
+
+
+def test_turn_order_window_shuffles_once_on_conv_id(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    out = quality_filter(df, with_turn_order=True)
+    plan = plan_of(out)
+    # exactly one Exchange node in the plan tree (it also appears once more
+    # in the formatted detail section)
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(conv_id" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(entrymod.q_topn_longest(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = plan_of(entrymod.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of(entrymod.q_knn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(entrymod.q_tpch_q1(spark, SF))
+    # HashAggregate appears twice: partial (map-side) + final (post-shuffle)
+    assert plan.count("HashAggregate") >= 2
