@@ -983,6 +983,70 @@ def q_classifier_filter(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_majority_vote(spark, sf_dir):
+    """Majority answer per question — here: modal event_type per user
+    (MultipleSamples majority-vote semantics)."""
+    from open_thoughts_spark.operators.verify import majority_vote
+
+    ev = _t(spark, sf_dir, "events")
+    return majority_vote(ev, "user_id", "event_type", normalize=False)
+
+
+SQL_MAJORITY_VOTE = """
+    with counted as (
+      select user_id, event_type as _a, count(*) as votes
+      from events group by 1, 2
+    ), totals as (
+      select user_id, sum(votes) as total from counted group by 1
+    )
+    select c.user_id, c._a as majority_answer, c.votes, t.total
+    from (
+      select *, row_number() over (partition by user_id
+                                   order by votes desc, _a) as rn
+      from counted
+    ) c join totals t on c.user_id = t.user_id
+    where c.rn = 1
+"""
+
+
+def q_k_shortest(spark, sf_dir):
+    """k-shortest texts per lang block (_D2_IA_Filtering selection)."""
+    from open_thoughts_spark.operators.verify import k_shortest
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_shortest(docs, "lang", "text", 3).select("doc_id", "lang")
+
+
+SQL_K_SHORTEST = """
+    select doc_id, lang from (
+      select doc_id, lang, row_number() over (
+        partition by lang order by length(text), text) as rn
+      from documents
+    ) where rn <= 3
+"""
+
+
+def q_two_phase_agg(spark, sf_dir):
+    """Skew-safe salted aggregation == plain aggregation (semantics check)."""
+    from open_thoughts_spark.pipeline.skew import two_phase_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev, "user_id", {"n_events": ("1", "sum"), "max_event_id": ("event_id", "max")}
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "max_event_id",
+    )
+
+
+SQL_TWO_PHASE_AGG = """
+    select user_id, count(*) as n_events, max(event_id) as max_event_id
+    from events group by user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": q_tpch_q1,
@@ -1022,6 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": q_simhash_neardup,
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
+        "majority_vote_per_user": q_majority_vote,
+        "k_shortest_per_lang": q_k_shortest,
+        "skew_two_phase_agg": q_two_phase_agg,
     }
 
 
@@ -1061,6 +1128,9 @@ def oracle_sql() -> dict[str, str]:
         "repeat_dataset_regions": SQL_REPEAT_DATASET,
         "events_dedup_first": SQL_EVENTS_DEDUP_FIRST,
         "dedup_simhash_neardup": sql_simhash_neardup(),
+        "majority_vote_per_user": SQL_MAJORITY_VOTE,
+        "k_shortest_per_lang": SQL_K_SHORTEST,
+        "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
         # omitted (model-side, rows-only check): ann_lsh_top5,
         # embed_docs_knn, classifier_lang_filter
     }

@@ -1,0 +1,191 @@
+"""Tests: function-op harness, verification/judge ops, text transforms,
+skew utilities, stateful streaming."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.operators import verify
+from open_thoughts_spark.operators.function_op import (
+    apply_sharded,
+    apply_unsharded,
+    apply_with_side_inputs,
+)
+from open_thoughts_spark.pipeline.skew import (
+    conv_length_stats,
+    salted_repartition,
+    two_phase_agg,
+)
+from open_thoughts_spark.rules.transforms import (
+    final_to_reasoning,
+    reasoning_to_final,
+    remove_phrases,
+    strip_html,
+)
+
+
+# --- function op ---
+
+def test_apply_sharded(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+
+    def double_v(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": pdf["id"], "v4": pdf["v"] * 2})
+
+    out = apply_sharded(df, double_v, "id long, v4 long")
+    assert out.agg(F.max("v4")).collect()[0][0] == 99 * 4
+
+
+def test_apply_unsharded_global_and_guard(spark):
+    df = spark.range(50).withColumn("v", (50 - F.col("id")).cast("double"))
+
+    def global_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out["rank"] = out["v"].rank(method="first").astype("int64")
+        return out
+
+    out = apply_unsharded(df, global_rank)
+    top = out.filter(F.col("rank") == 50).collect()[0]
+    assert top["id"] == 0
+    with pytest.raises(ValueError, match="rewrite as"):
+        apply_unsharded(spark.range(100), lambda p: p, max_rows=10)
+
+
+def test_apply_with_side_inputs(spark):
+    main = spark.range(10).withColumn("k", (F.col("id") % 2).cast("string"))
+    side = spark.createDataFrame([("0", "even"), ("1", "odd")], "k string, label string")
+
+    def enrich(pdf: pd.DataFrame, labels: pd.DataFrame) -> pd.DataFrame:
+        m = dict(zip(labels["k"], labels["label"]))
+        return pd.DataFrame({"id": pdf["id"], "label": pdf["k"].map(m)})
+
+    out = apply_with_side_inputs(main, {"labels": side}, enrich, "id long, label string")
+    got = {r["id"]: r["label"] for r in out.collect()}
+    assert got[0] == "even" and got[1] == "odd"
+
+
+# --- verification / judges ---
+
+def test_judge_filter_and_majority_vote(spark):
+    rows = [
+        ("q1", " 42 ", "42"),
+        ("q1", "41", "42"),
+        ("q1", "42", "42"),
+        ("q2", "yes", "no"),
+        ("q2", "no", "no"),
+    ]
+    df = spark.createDataFrame(rows, "q string, answer string, truth string")
+    judged = verify.with_verdict(df, "answer", "truth")
+    kept = verify.filter_correct(judged)
+    assert kept.count() == 3  # normalized equality: ' 42 ', '42', 'no'
+
+    mv = verify.majority_vote(df, "q", "answer")
+    got = {r["q"]: (r["majority_answer"], r["votes"], r["total"]) for r in mv.collect()}
+    assert got["q1"] == ("42", 2, 3)
+    assert got["q2"][2] == 2
+
+
+def test_k_shortest(spark):
+    rows = [("g", "aaaa"), ("g", "aa"), ("g", "a"), ("h", "bbb")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    out = verify.k_shortest(df, "g", "text", 2)
+    got = sorted((r["g"], r["text"]) for r in out.collect())
+    assert got == [("g", "a"), ("g", "aa"), ("h", "bbb")]
+
+
+# --- text transforms ---
+
+def test_remove_phrases(spark):
+    df = spark.createDataFrame(
+        [("Sure! As an AI language model, here is the answer.",)], "text string"
+    )
+    out = remove_phrases(df, "text", ["as an AI language model,"]).collect()[0][0]
+    assert out == "Sure! here is the answer."
+
+
+def test_reasoning_trace_roundtrip(spark):
+    df = spark.createDataFrame([("think hard", "x = 2")], "thought string, sol string")
+    wrapped = final_to_reasoning(df, "thought", "sol")
+    text = wrapped.collect()[0]["text"]
+    assert "<|begin_of_thought|>" in text and "x = 2" in text
+    back = reasoning_to_final(wrapped, "text", "final").collect()[0]["final"]
+    assert back == "x = 2"
+
+
+def test_strip_html(spark):
+    df = spark.createDataFrame(
+        [("<html><script>var x=1;</script><p>Hello &amp; <b>world</b></p></html>",)],
+        "text string",
+    )
+    assert strip_html(df, "text").collect()[0][0] == "Hello & world"
+
+
+# --- skew ---
+
+def test_salted_repartition_spreads_hot_key(spark):
+    hot = spark.range(2000).select(F.lit("hot").alias("k"), F.col("id"))
+    cold = spark.range(100).select(F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id"))
+    df = hot.unionByName(cold)
+    out = salted_repartition(df, "k", salt_buckets=8, num_partitions=8)
+    per_part = (
+        out.withColumn("p", F.spark_partition_id())
+        .filter(F.col("k") == "hot")
+        .groupBy("p")
+        .count()
+    )
+    assert per_part.count() >= 4  # hot key fanned over several partitions
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.col("id").alias("x")
+    )
+    out = two_phase_agg(df, "k", {"n": ("1", "sum"), "mx": ("x", "max")})
+    plain = df.groupBy("k").agg(F.count("*").alias("n"), F.max("x").alias("mx"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_conv_length_stats(spark, transcripts_path):
+    stats = conv_length_stats(spark.read.parquet(transcripts_path)).collect()[0]
+    assert stats["max_rows"] > 100  # hot conversations exist
+    assert stats["p50"] <= 40  # typical conversations bounded
+    assert stats["max_rows"] <= 1000  # the bounded-conversation invariant
+
+
+# --- stateful streaming ---
+
+def test_conversation_state_stream(spark, transcripts_path, tmp_path):
+    from open_thoughts_spark.pipeline import quality_filter
+    from open_thoughts_spark.streaming import read_transcripts_stream
+    from open_thoughts_spark.streaming.stateful import conversation_state_stream
+
+    # restrict to ~100 conversations: applyInPandasWithState pays a pandas
+    # roundtrip per group per micro-batch — plenty to validate semantics
+    stream = read_transcripts_stream(spark, transcripts_path, max_files_per_trigger=64).filter(
+        F.col("conv_id") < "conv-00000100"
+    )
+    decided = quality_filter(stream, with_turn_order=False)
+    summaries = conversation_state_stream(decided, idle_timeout_ms=None)
+    out_dir = str(tmp_path / "state_out")
+    q = (
+        summaries.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select * from conv_state"
+    ).groupBy("conv_id").agg(F.max("turns_seen").alias("turns_seen"))
+    batch = (
+        spark.read.parquet(transcripts_path)
+        .filter(F.col("conv_id") < "conv-00000100")
+        .groupBy("conv_id")
+        .count()
+    )
+    j = got.join(batch, on="conv_id")
+    assert j.filter(F.col("turns_seen") != F.col("count")).count() == 0
