@@ -1,0 +1,82 @@
+"""LLM completions operator — the inference harness, with a hermetic mock.
+
+Reference: the ``completions`` operator runs prompt/parse "map" classes over
+rows through bespokelabs-curator with a shared rate-limit actor and optional
+shard merging (/root/reference/open_thoughts_3/engine/operators/
+completions_operator.py:25-300); ~60 prompt/parse maps live in engine/maps/
+(map_registry.py:1-112). Tests swap the LLM for deterministic mocks
+(MOCK_VERIFY, open_thoughts/math/judge.py:46-49; mocked_reasoner,
+open_thoughts/reason.py:1-9).
+
+Spark-first shape: a CompletionMap (prompt builder + response parser) runs
+inside ``mapInPandas``; the completion backend is a pluggable batch callable.
+The default backend is the deterministic mock (this environment has no LLM);
+a real backend would issue async HTTP inside the same batch callable —
+per-executor concurrency IS the rate-limit unit, so cluster-wide QPS =
+executors × per-batch concurrency, tuned via repartition count.
+
+``n_repeat`` row duplication (completions_operator.py:61-65) maps to
+``relational.repeat_dataset``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CompletionMap:
+    """prompt/parse pair (the engine/maps contract)."""
+
+    name: str
+    build_prompt: Callable[[pd.Series], pd.Series]  # row fields -> prompt text
+    parse_response: Callable[[pd.Series], pd.Series]  # raw completion -> parsed
+
+
+def mock_backend(prompts: pd.Series) -> pd.Series:
+    """Deterministic stand-in: completion = tagged digest of the prompt.
+    Stable across runs/partitions — the MOCK_VERIFY posture."""
+    return prompts.fillna("").map(
+        lambda p: f"[mock:{hashlib.sha256(p.encode()).hexdigest()[:12]}]"
+    )
+
+
+def completions(
+    df: DataFrame,
+    cmap: CompletionMap,
+    prompt_col: str = "text",
+    out_col: str = "completion",
+    backend: Callable[[pd.Series], pd.Series] = mock_backend,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Annotate each row with a parsed completion.
+
+    The whole row batch flows through build_prompt → backend → parse; keep
+    ``batch_size`` aligned with the backend's concurrency budget.
+    """
+    in_cols = df.columns
+    schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in in_cols)
+    schema += f", `{out_col}` string"
+
+    def _runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[i : i + batch_size].copy()
+                prompts = cmap.build_prompt(chunk[prompt_col])
+                chunk[out_col] = cmap.parse_response(backend(prompts))
+                yield chunk
+
+    return df.mapInPandas(_runner, schema=schema)
+
+
+IDENTITY_MAP = CompletionMap(
+    name="identity",
+    build_prompt=lambda s: s,
+    parse_response=lambda s: s,
+)

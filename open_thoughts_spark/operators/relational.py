@@ -263,6 +263,50 @@ def strip_column(df: DataFrame, column: str, chars: str = " \\t\\n\\x0B\\f\\r") 
     )
 
 
+def choose_range(df: DataFrame, start: int, end: int, order_by: list[str]) -> DataFrame:
+    """commons.py:599-603 — slice rows [start, end) under an explicit order."""
+    w = Window.orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter((F.col("_rn") >= start) & (F.col("_rn") < end))
+        .drop("_rn")
+    )
+
+
+def upsample_to(df: DataFrame, n: int, order_by: list[str]) -> DataFrame:
+    """commons.py:131-142 — repeat rows (cycling in a fixed order) until the
+    table has exactly n rows. Whole-multiple repeats are a cheap explode;
+    the remainder is a deterministic ordered head."""
+    count = df.count()
+    if count == 0:
+        raise ValueError("cannot upsample an empty dataset")
+    full, rem = divmod(n, count)
+    parts = []
+    if full:
+        parts.append(repeat_dataset(df, full))
+    if rem:
+        w = Window.orderBy(*order_by)
+        parts.append(
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= rem)
+            .drop("_rn")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def list_to_string(df: DataFrame, column: str, out: str | None = None) -> DataFrame:
+    """commons.py:744-757 — take element 0 of a list column."""
+    return df.withColumn(out or column, F.try_element_at(F.col(column), F.lit(1)))
+
+
+def extract_list_index(df: DataFrame, column: str, index: int, out: str) -> DataFrame:
+    """commons.py:800-812 — take element i (0-based) of a list column."""
+    return df.withColumn(out, F.try_element_at(F.col(column), F.lit(index + 1)))
+
+
 # --- two-phase domain aggregation (WebInstruct/utils.py:122-192) ---
 
 def count_and_filter_low_frequency(
