@@ -52,7 +52,9 @@ _RESULT_SCHEMA = StructType(
 
 
 def langid_exprs(text: Column) -> tuple[Column, Column]:
-    """(lang, prob) as pure native expressions."""
+    """(lang, prob) as pure native expressions. Null text → ('und', 0.0),
+    matching the oracle's fillna("") behavior."""
+    text = F.coalesce(text, F.lit(""))
     counts = [F.regexp_count(text, F.lit(MARKERS[lang])) for lang in LANGS]
     total = sum(counts[1:], counts[0])
     # argmax with earliest-language tie-break: max over struct(count, -idx, lang)

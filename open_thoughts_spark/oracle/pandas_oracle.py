@@ -107,5 +107,9 @@ def oracle_decisions(df: pd.DataFrame) -> pd.DataFrame:
 
     out["drop_reason"] = reason
     out["keep"] = pd.isna(out["drop_reason"])
-    out["scrubbed_text"] = scrub_series(text).to_numpy()
+    # null text scrubs to null (matching regexp_replace's null propagation in
+    # Spark and DuckDB); non-null text scrubs through the chain
+    scrubbed = scrub_series(text).to_numpy(dtype=object)
+    scrubbed[is_null] = None
+    out["scrubbed_text"] = scrubbed
     return out

@@ -1,0 +1,82 @@
+"""Property-based Spark↔oracle parity on adversarial text.
+
+Hypothesis generates text over hostile alphabets (control chars, unicode,
+regex metachars, whitespace runs); a deterministic seeded corpus covers the
+targeted edge cases. Every generated turn must agree exactly between the
+distributed pipeline and the pandas oracle on (drop_reason, scrubbed_text,
+lang) — the strong form of the F1/exact-equality contract.
+
+One Spark job per test run (batched), not per example: hypothesis drives
+corpus construction, Spark runs once.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from open_thoughts_spark.oracle import oracle_decisions
+from open_thoughts_spark.pipeline import quality_filter
+
+ALPHABETS = [
+    string.ascii_letters + string.digits + " ",
+    string.printable,
+    " \t\n\x0b\f\r",
+    "éüñçøâ一二三中文테스트русский",
+    "@.+-_<>|{}[]()$%^&*!~`'\"\\",
+]
+
+TARGETED = [
+    "", "  ", "As an AI language model", "sk-ABCdef123456789", "a@b.co",
+    "+1-555-0147", "I'm sorry,\tbut", "\x00\x01control", "Write a program\n",
+    "¿qué?", "ＡＢＣ full width", "\U0001F600 emoji", "tab\tsep\tvals",
+    "ends with backslash \\", "\\d+ regex literal", "<|endoftext|>",
+    "http://x.y [image]", "el la los que es como por una para",
+    "der die das und ist nicht", "一二三四五", None,
+]
+
+ROLES = ["user", "assistant", "system", "tool"]
+
+
+def _corpus(seed: int, n: int) -> list[str | None]:
+    rng = random.Random(seed)
+    out = list(TARGETED)
+    for _ in range(n):
+        pool = rng.choice(ALPHABETS)
+        out.append("".join(rng.choice(pool) for _ in range(rng.randint(0, 250))))
+    return out
+
+
+def _assert_parity(spark, texts: list[str | None]) -> None:
+    rows = [
+        (f"c{i}", 0, ROLES[i % len(ROLES)], t) for i, t in enumerate(texts)
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string"
+    got = (
+        quality_filter(spark.createDataFrame(rows, schema), with_turn_order=False)
+        .select("conv_id", "drop_reason", "scrubbed_text", "lang")
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    want = (
+        oracle_decisions(pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"]))
+        .set_index("conv_id")
+        .sort_index()
+    )
+    for c in got.index:
+        g, w = got.loc[c], want.loc[c]
+        wr = w["drop_reason"] if pd.notna(w["drop_reason"]) else None
+        assert (g["drop_reason"] or None) == wr, (c, g["drop_reason"], wr)
+        gs, ws = g["scrubbed_text"], w["scrubbed_text"]
+        assert (gs is None and ws is None) or gs == ws, (c, gs, ws)
+        assert g["lang"] == w["lang"], (c, g["lang"], w["lang"])
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=3, deadline=None)
+def test_fuzz_parity(spark, seed):
+    _assert_parity(spark, _corpus(seed, 250))
