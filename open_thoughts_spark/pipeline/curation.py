@@ -1,0 +1,121 @@
+"""Domain curation chains — the OpenThoughts-114k entry points, composed.
+
+Reference entry point 2 (/root/reference/open_thoughts/math/maths.py:10-36):
+    load → filter(source) → filter(problems) → rename → add domain/source
+    → fuzzy dedup → decontaminate vs eval sets → reason (LLM annotate)
+    → push.
+Reference entry point 3 (/root/reference/open_thoughts/mix.py:15-40):
+    per-domain verify (judge → filter correct) → map to ShareGPT →
+    select columns → concatenate → push verified + unverified mixes.
+
+This module composes the engine's operators into those exact shapes. Every
+step is a lazy DataFrame transform — the whole chain is ONE Catalyst plan
+per output, with the fuzzy-dedup/decontamination stages running as
+MinHash-LSH (the scalable equivalent of the reference's all-pairs
+rapidfuzz, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.operators import relational
+from open_thoughts_spark.operators.completions import (
+    CompletionMap,
+    completions,
+    mock_backend,
+)
+from open_thoughts_spark.operators.conversations import (
+    instruction_response_to_long,
+    long_to_sharegpt,
+)
+from open_thoughts_spark.operators.decontaminate import ngram_decontaminate
+from open_thoughts_spark.operators.dedup import minhash_dedup
+from open_thoughts_spark.operators.verify import filter_correct, with_verdict
+
+
+@dataclass
+class DomainConfig:
+    """One domain's curation recipe (maths.py / code.py / puzzle.py shape)."""
+
+    name: str
+    id_col: str
+    text_col: str
+    source_col: str | None = None
+    keep_sources: list[str] | None = None
+    problem_filter: Callable[[DataFrame], DataFrame] | None = None
+    renames: dict[str, str] = field(default_factory=dict)
+    dedup_jaccard: float = 0.8
+    decontaminate_ngram: int = 13
+
+
+def curate_domain(
+    df: DataFrame,
+    cfg: DomainConfig,
+    eval_sets: list[DataFrame] | None = None,
+    annotate: bool = True,
+    backend=mock_backend,
+) -> DataFrame:
+    """maths.py:10-36 chain on a raw domain table."""
+    out = df
+    if cfg.keep_sources and cfg.source_col:
+        out = relational.filter_by_values(out, cfg.source_col, include=cfg.keep_sources)
+    if cfg.problem_filter:
+        out = cfg.problem_filter(out)
+    if cfg.renames:
+        out = relational.force_rename_columns(out, cfg.renames)
+    out = out.withColumn("domain", F.lit(cfg.name))
+    # fuzzy dedup (deduplicate.py:17-55 → MinHash-LSH keep-min-id)
+    out = minhash_dedup(
+        out, cfg.id_col, cfg.text_col, min_jaccard=cfg.dedup_jaccard
+    )
+    # decontaminate vs each eval set (decontaminate.py:12-59 → n-gram
+    # broadcast anti-join per eval registry entry, eval.py:1-23)
+    for ev in eval_sets or []:
+        out = ngram_decontaminate(
+            out, ev, cfg.text_col, n=cfg.decontaminate_ngram, id_col=cfg.id_col
+        )
+    if annotate:
+        # reason step (reason.py / mocked_reasoner posture)
+        cmap = CompletionMap(
+            name="reason",
+            build_prompt=lambda s: "Reason step by step, then answer:\n" + s,
+            parse_response=lambda s: s,
+        )
+        out = completions(out, cmap, prompt_col=cfg.text_col, out_col="reasoning", backend=backend)
+    return out
+
+
+def verify_and_mix(
+    domains: dict[str, DataFrame],
+    answer_col: str,
+    truth_col: str,
+    instruction_col: str,
+    response_col: str,
+    id_col: str,
+) -> dict[str, DataFrame]:
+    """mix.py:15-40 fan-in: per-domain judge → filter correct → ShareGPT →
+    union. Returns {'verified': ..., 'unverified': ...} (both ShareGPT)."""
+    verified_parts, unverified_parts = [], []
+    for name, df in domains.items():
+        judged = with_verdict(df, answer_col, truth_col)
+        for bucket, frame in (
+            (verified_parts, filter_correct(judged)),
+            (unverified_parts, judged),
+        ):
+            long = instruction_response_to_long(
+                frame.select(id_col, instruction_col, response_col),
+                instruction_col,
+                response_col,
+                id_col,
+            )
+            nested = long_to_sharegpt(long, id_col=id_col)
+            bucket.append(nested.withColumn("domain", F.lit(name)))
+    return {
+        "verified": relational.concatenate(verified_parts),
+        "unverified": relational.concatenate(unverified_parts),
+    }

@@ -1,0 +1,75 @@
+"""End-to-end domain curation chains (maths.py / mix.py shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.pipeline.curation import (
+    DomainConfig,
+    curate_domain,
+    verify_and_mix,
+)
+
+
+def _math_domain(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, f"solve the equation number {i} for x given constants a and b", "good_src"))
+    rows.append((100, "solve the equation number 7 for x given constants a and b", "good_src"))  # near-dup of 7
+    rows.append((101, "please draw a diagram of the triangle construction", "good_src"))
+    rows.append((102, "some problem from a bad source entirely", "bad_src"))
+    return spark.createDataFrame(rows, "pid int, problem string, src string")
+
+
+def test_curate_domain_chain(spark):
+    df = _math_domain(spark)
+    eval_set = spark.createDataFrame(
+        [("solve the equation number 3 for x given constants a and b",)], "problem string"
+    )
+    cfg = DomainConfig(
+        name="math",
+        id_col="pid",
+        text_col="problem",
+        source_col="src",
+        keep_sources=["good_src"],
+        problem_filter=lambda d: d.filter(~F.col("problem").rlike("(?i)\\b(diagram|figure)\\b")),
+        dedup_jaccard=0.8,
+        decontaminate_ngram=8,  # the test problems are 11 words; 13-grams need >=13
+    )
+    out = curate_domain(df, cfg, eval_sets=[eval_set])
+    ids = sorted(r["pid"] for r in out.select("pid").collect())
+    assert 102 not in ids  # source filter
+    assert 101 not in ids  # problem filter (diagram)
+    assert 100 not in ids  # fuzzy dedup kept min id 7
+    assert 3 not in ids  # decontaminated vs eval set (8-gram overlap)
+    assert 7 in ids and len(ids) == 39  # 40 base problems minus decontaminated #3
+    row = out.filter(F.col("pid") == 7).collect()[0]
+    assert row["domain"] == "math"
+    assert row["reasoning"].startswith("[mock:")
+
+
+def test_verify_and_mix(spark):
+    math = spark.createDataFrame(
+        [("m1", "What is 2+2?", "4", "4"), ("m2", "What is 3+3?", "7", "6")],
+        "qid string, instruction string, answer string, truth string",
+    )
+    code = spark.createDataFrame(
+        [("c1", "Reverse a list", "ok", "ok")],
+        "qid string, instruction string, answer string, truth string",
+    )
+    mixes = verify_and_mix(
+        {"math": math, "code": code},
+        answer_col="answer",
+        truth_col="truth",
+        instruction_col="instruction",
+        response_col="answer",
+        id_col="qid",
+    )
+    v = {r["qid"]: r for r in mixes["verified"].collect()}
+    u = {r["qid"]: r for r in mixes["unverified"].collect()}
+    assert set(v) == {"m1", "c1"}  # m2 judged wrong
+    assert set(u) == {"m1", "m2", "c1"}
+    conv = v["m1"]["conversations"]
+    assert [t["from"] for t in conv] == ["human", "gpt"]
+    assert conv[0]["value"] == "What is 2+2?"
+    assert v["m1"]["domain"] == "math"
