@@ -202,13 +202,32 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides, exact cosine within bucket.
 
-    Recall < 1.0 by construction (single-probe); the bucket join replaces the
-    cross join so cost scales with bucket occupancy, not corpus size."""
+    ``multiprobe``: also probe query buckets at Hamming distance ≤ m (each
+    query fans out to 1 + C(n_planes, ≤m) buckets — the standard multi-probe
+    LSH recall/cost dial). Recall < 1.0 by construction; the bucket join
+    replaces the cross join so cost scales with bucket occupancy, not corpus
+    size."""
     cb = with_lsh_bucket(corpus, vec_col, n_planes)
     qb = with_lsh_bucket(queries, vec_col, n_planes)
+    if multiprobe > 0:
+        # fan the query side out to nearby buckets (corpus side stays 1 row)
+        flips = [F.col("lsh_bucket").cast("long")]
+        if multiprobe >= 1:
+            flips += [
+                F.col("lsh_bucket").cast("long").bitwiseXOR(F.lit(1 << j))
+                for j in range(n_planes)
+            ]
+        if multiprobe >= 2:
+            flips += [
+                F.col("lsh_bucket").cast("long").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        qb = qb.withColumn("lsh_bucket", F.explode(F.array(*flips)))
     q = qb.select(
         F.col(id_col).alias("query_id"),
         F.col("lsh_bucket"),
@@ -222,6 +241,8 @@ def ann_lsh_topk(
     sim = (
         c.join(q, on="lsh_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # multiprobe can surface the same pair via several buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("_sim6", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
     )
     return topk_per_group(

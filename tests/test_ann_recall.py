@@ -1,0 +1,51 @@
+"""ANN quality: LSH search must find planted near-duplicates (the workload
+ANN exists for) and actually prune the candidate space.
+
+Uniform-random vectors have no meaningful neighbors — recall on them is
+chance by construction — so the benchmark plants jittered twins: each query's
+true nearest neighbor is its slightly-perturbed copy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.operators import similarity
+
+
+def _planted(spark, n=300, dim=32, n_queries=40, seed=11):
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    # twins: id 10000+i is a small perturbation of vector i
+    for i in range(n_queries):
+        twin = base[i] + 0.05 * rng.standard_normal(dim)
+        rows.append((10000 + i, twin.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_lsh_finds_planted_twins(spark):
+    df = _planted(spark)
+    queries = df.filter(F.col("vec_id") < 40)
+    exact = similarity.knn_bruteforce(df, queries, k=1)
+    top_exact = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    assert all(top_exact[i] == 10000 + i for i in range(40))  # sanity
+
+    approx = similarity.ann_lsh_topk(df, queries, k=1, n_planes=8, multiprobe=1)
+    top_approx = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for i in range(40) if top_approx.get(i) == 10000 + i)
+    assert hits / 40 >= 0.8, f"planted-twin recall {hits/40:.2f}"
+
+
+def test_lsh_buckets_prune_pair_space(spark):
+    df = _planted(spark)
+    cand = (
+        similarity.with_lsh_bucket(df, n_planes=8)
+        .groupBy("lsh_bucket")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    n = df.count()
+    assert cand < 0.1 * n * n, "LSH buckets do not prune the pair space"
