@@ -29,14 +29,19 @@ from pyspark.sql import functions as F
 
 _WS = " \\t\\n\\x0B\\f\\r"  # explicit ASCII whitespace (dialect-portable)
 
-# Ordered scrub steps: (name, pattern, replacement). Order is semantics.
-SCRUB_STEPS: list[tuple[str, str, str]] = [
+# Ordered scrub steps: (name, pattern, replacement, guard). Order is
+# semantics. ``guard`` is an optional cheap regex that is NECESSARY for the
+# pattern to match: rows failing the guard skip the (expensive) global
+# replace entirely — a pure optimization, the output is identical because a
+# skipped step would have been an identity rewrite.
+SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
     # 1. strip non-printable control chars (WebInstruct/utils.py:16-21 analog)
-    ("controls", "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
-    # 2. collapse runs of whitespace to a single space
-    ("whitespace", f"[{_WS}]+", " "),
+    ("controls", "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "", "[\\x00-\\x08\\x0E-\\x1F\\x7F]"),
+    # 2. collapse runs of whitespace to a single space (single spaces are
+    # already their own fixpoint → guard on non-space whitespace or runs)
+    ("whitespace", f"[{_WS}]+", " ", "[\\t\\n\\x0B\\f\\r]|  "),
     # 3. emails
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "@"),
     # 4. phone numbers — explicit shapes only (international +CC with 2-4
     # digit groups, NANP 3-3-4, or bare 3-4) so dates / number lists survive
     (
@@ -45,31 +50,39 @@ SCRUB_STEPS: list[tuple[str, str, str]] = [
         "|((\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
         "|((\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})",
         "<PHONE>",
+        "[0-9][0-9]",
     ),
     # 5. API-key-shaped tokens (sk-..., api_key=..., etc.)
     (
         "key",
         "\\b(sk|pk|rk|api|key|token|secret)[-_][A-Za-z0-9]{8,}\\b",
         "<KEY>",
+        "[-_][A-Za-z0-9]{8}",
     ),
     # 6. toxicity masking (deterministic word list; word-boundary, ci)
     (
         "toxic",
         "(?i)\\b(damn|hell|idiot|stupid|moron|jackass)\\b",
         "<TOX>",
+        None,
     ),
     # 7. trim leading/trailing spaces (regex form so all engines agree)
-    ("trim", "^ +| +$", ""),
+    ("trim", "^ +| +$", "", "^ | $"),
 ]
 
-_COMPILED = [(re.compile(p), r) for _, p, r in SCRUB_STEPS]
+_COMPILED = [(re.compile(p), r) for _, p, r, _g in SCRUB_STEPS]
 
 
 def scrub_expr(col: Column | str) -> Column:
-    """Native Spark column expression applying the full scrub chain."""
+    """Native Spark column expression applying the full scrub chain.
+
+    Each guarded step is CASE WHEN rlike(guard) THEN regexp_replace(...)
+    ELSE text — codegen short-circuits, so rows without PII/junk pay one
+    cheap search per step instead of a global replace scan."""
     c = F.col(col) if isinstance(col, str) else col
-    for _, pattern, repl in SCRUB_STEPS:
-        c = F.regexp_replace(c, pattern, repl)
+    for _, pattern, repl, guard in SCRUB_STEPS:
+        replaced = F.regexp_replace(c, pattern, repl)
+        c = F.when(c.rlike(guard), replaced).otherwise(c) if guard else replaced
     return c
 
 
@@ -93,7 +106,7 @@ def scrub_text(text: str | None) -> str:
 def scrub_sql(col_name: str) -> str:
     """DuckDB SQL expression applying the same chain (for oracle_sql parity)."""
     expr = col_name
-    for _, pattern, repl in SCRUB_STEPS:
+    for _, pattern, repl, _guard in SCRUB_STEPS:
         p = pattern.replace("'", "''")
         r = repl.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
