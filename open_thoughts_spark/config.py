@@ -22,6 +22,8 @@ SYMBOL_RATIO_MAX = 0.30  # non [A-Za-z0-9 whitespace] chars / chars > ratio -> d
 # --- language ID (fasttext_operator.py:37-38 default filter_threshold=0.5) ---
 LANGID_THRESHOLD = 0.5  # drop if predicted lang != 'en' with prob >= threshold
 LANGID_KEEP_LANG = "en"
+LANGID_MAX_CHARS = 512  # classify on this prefix (cost cap; language is
+#                         evident in the first 512 chars — fastText-style)
 
 # --- perplexity (KenLM-style bits-per-char; north_star in BASELINE.json).
 # Calibrated on the fixture strata: clean English ~3.8-4.2 bpc under the

@@ -53,8 +53,12 @@ _RESULT_SCHEMA = StructType(
 
 def langid_exprs(text: Column) -> tuple[Column, Column]:
     """(lang, prob) as pure native expressions. Null text → ('und', 0.0),
-    matching the oracle's fillna("") behavior."""
-    text = F.coalesce(text, F.lit(""))
+    matching the oracle's fillna("") behavior. Classification runs on the
+    first LANGID_MAX_CHARS (cost cap on pathological rows; mirrored in the
+    pandas oracle and the SQL fragments)."""
+    from open_thoughts_spark import config
+
+    text = F.substring(F.coalesce(text, F.lit("")), 1, config.LANGID_MAX_CHARS)
     counts = [F.regexp_count(text, F.lit(MARKERS[lang])) for lang in LANGS]
     total = sum(counts[1:], counts[0])
     # argmax with earliest-language tie-break: max over struct(count, -idx, lang)
@@ -84,7 +88,9 @@ def with_langid(
 
 def langid_pandas(texts: pd.Series) -> pd.DataFrame:
     """Vectorized pandas implementation (oracle + UDF body). Identical result."""
-    s = texts.fillna("")
+    from open_thoughts_spark import config
+
+    s = texts.fillna("").str.slice(0, config.LANGID_MAX_CHARS)
     counts = pd.DataFrame({lang: s.str.count(MARKERS[lang]) for lang in LANGS})
     total = counts.sum(axis=1)
     # idxmax returns the first max in column order == tie-break priority
@@ -125,7 +131,10 @@ def with_langid_udf(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def langid_sql(text_expr: str) -> dict[str, str]:
     """DuckDB SQL fragments: marker-count expressions per language."""
+    from open_thoughts_spark import config
+
+    capped = f"substr({text_expr}, 1, {config.LANGID_MAX_CHARS})"
     return {
-        lang: f"len(regexp_extract_all({text_expr}, '{MARKERS[lang]}'))"
+        lang: f"len(regexp_extract_all({capped}, '{MARKERS[lang]}'))"
         for lang in LANGS
     }

@@ -46,8 +46,9 @@ def symbol_ratio_sql(t: str) -> str:
 
 
 def langid_counts_sql(t: str) -> dict[str, str]:
+    capped = f"substr({t}, 1, {config.LANGID_MAX_CHARS})"
     return {
-        lang: f"len(regexp_extract_all({t}, {q(MARKERS[lang])}))" for lang in LANGS
+        lang: f"len(regexp_extract_all({capped}, {q(MARKERS[lang])}))" for lang in LANGS
     }
 
 

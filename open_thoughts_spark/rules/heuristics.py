@@ -47,9 +47,12 @@ def stripped(text: Column) -> Column:
 
 
 def word_count(text: Column) -> Column:
-    """``len(text.split())`` semantics (Alpaca utils:140)."""
-    s = stripped(text)
-    return F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, f"{_WS_CLASS}+")))
+    """``len(text.split())`` semantics (Alpaca utils:140).
+
+    Counted as the number of non-whitespace runs via ``regexp_count`` —
+    identical to stripping + splitting, but with no array allocation and no
+    empty-string special case."""
+    return F.regexp_count(text, F.lit(f"[^{_WS_CLASS[1:-1]}]+"))
 
 
 def distinct_word_ratio(text: Column) -> Column:
@@ -108,9 +111,14 @@ def rule_flags(
         "url_artifact": text.rlike(phrases.URL_ARTIFACT_REGEX),
         # WebInstructAblation/utils.py:73
         "endoftext_artifact": text.contains(phrases.ENDOFTEXT_ARTIFACT),
-        # repetition ratio (FIXTURES.md stratum 5)
-        "repetition": (wc >= config.REPETITION_MIN_WORDS)
-        & (distinct_word_ratio(text) < config.REPETITION_DISTINCT_RATIO),
+        # repetition ratio (FIXTURES.md stratum 5). Gated to wc <= TOO_LONG:
+        # longer rows are dropped by too_long earlier in the cascade anyway,
+        # so skipping the O(words²) distinct-count there never changes
+        # drop_reason — it only avoids the work.
+        "repetition": F.when(
+            (wc >= config.REPETITION_MIN_WORDS) & (wc <= config.TOO_LONG_WORDS),
+            distinct_word_ratio(text) < config.REPETITION_DISTINCT_RATIO,
+        ).otherwise(F.lit(False)),
         # symbol/word ratio (FIXTURES.md stratum 6)
         "symbol_heavy": symbol_ratio(text) > config.SYMBOL_RATIO_MAX,
     }
