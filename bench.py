@@ -27,10 +27,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# ~1.85M turns: large enough that residual fixed costs (driver planning of
-# the big cascade ≈3.6s even on 10 rows, stage scheduling) stay <5% of the
-# slowest run — otherwise they silently cap measurable scaling efficiency
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "70000"))
+# ~1.05M turns: large enough that residual fixed costs (driver planning of
+# the big cascade ≈3s, stage scheduling) stay ~5% of the slowest run, small
+# enough to afford several repeats — the host VM has noisy-neighbor phases
+# (observed ±40% wall swings), so min-of-N per level is the only reliable
+# estimator of uncontended throughput
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "40000"))
 # Scaling pair N -> 4N. This sandbox VM sustains ~16-20 truly concurrent
 # threads (measured: 32-thread numpy/JVM workloads top out at ~1.5x the
 # 8-thread rate), so the honest 4x pairing that keeps BOTH levels inside the
@@ -168,7 +170,7 @@ def run_scaling(n_convs: int, repeats: int = 2) -> dict:
 
 def main() -> int:
     queries, total = run_headline_queries()
-    scaling = run_scaling(BENCH_CONVS)
+    scaling = run_scaling(BENCH_CONVS, repeats=3)
     out = {
         "metric": "headline query wall-clock at sf + quality-filter scaling N->4N",
         "value": total,
