@@ -983,6 +983,28 @@ def q_classifier_filter(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_levenshtein_pairs(spark, sf_dir):
+    """Blocked edit-distance fuzzy pairs (the fuzzy-dedup verify channel)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.levenshtein_pairs(
+        docs, "doc_id", "text", "lang", min_ratio=60.0
+    )
+
+
+SQL_LEVENSHTEIN_PAIRS = """
+    with base as (select doc_id, lang, text from documents)
+    select a.doc_id as id_a, b.doc_id as id_b,
+      round((1.0 - levenshtein(a.text, b.text) /
+             greatest(length(a.text), length(b.text))::double) * 100, 4) as ratio
+    from base a join base b
+      on a.lang = b.lang and a.doc_id < b.doc_id
+    where abs(length(a.text) - length(b.text))
+          <= greatest(length(a.text), length(b.text)) * 0.2
+      and (1.0 - levenshtein(a.text, b.text) /
+           greatest(length(a.text), length(b.text))::double) * 100 >= 60.0
+"""
+
+
 def q_majority_vote(spark, sf_dir):
     """Majority answer per question — here: modal event_type per user
     (MultipleSamples majority-vote semantics)."""
@@ -1086,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": q_simhash_neardup,
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
+        "dedup_levenshtein_pairs": q_levenshtein_pairs,
         "majority_vote_per_user": q_majority_vote,
         "k_shortest_per_lang": q_k_shortest,
         "skew_two_phase_agg": q_two_phase_agg,
@@ -1128,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "repeat_dataset_regions": SQL_REPEAT_DATASET,
         "events_dedup_first": SQL_EVENTS_DEDUP_FIRST,
         "dedup_simhash_neardup": sql_simhash_neardup(),
+        "dedup_levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
         "majority_vote_per_user": SQL_MAJORITY_VOTE,
         "k_shortest_per_lang": SQL_K_SHORTEST,
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,

@@ -215,6 +215,49 @@ def exact_dedup_normalized(
     return df.join(keep, on=id_col, how="inner")
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    min_ratio: float = 95.0,
+    max_len_diff_frac: float = 0.2,
+) -> DataFrame:
+    """Edit-distance fuzzy pairs within blocks — the exact-verification
+    channel for fuzzy dedup (open_thoughts/deduplicate.py:17-55 uses
+    rapidfuzz fuzz.ratio; this uses normalized Levenshtein similarity
+    ``(1 - lev/max(len)) * 100`` — same operating regime, built-in in both
+    Spark and DuckDB so it is fully oracle-checkable).
+
+    Scale shape: block join (never all-pairs) + a length-band prefilter —
+    strings whose lengths differ more than ``max_len_diff_frac`` cannot reach
+    the ratio, so the quadratic-cost edit distance only runs on plausible
+    pairs. For web-scale corpora the block key comes from MinHash-LSH bands
+    (candidate_pairs) and this is the verify step.
+    """
+    base = df.select(F.col(id_col), F.col(block_col), F.col(text_col).alias("_t"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(block_col), F.col("_t").alias("_ta")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(block_col), F.col("_t").alias("_tb")
+    )
+    la, lb = F.length("_ta"), F.length("_tb")
+    joined = (
+        a.join(b, on=block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(la - lb) <= F.greatest(la, lb) * max_len_diff_frac
+        )
+    )
+    ratio = (F.lit(1.0) - F.levenshtein("_ta", "_tb") / F.greatest(la, lb)) * 100
+    return (
+        joined.withColumn("ratio", F.round(ratio, 4))
+        .filter(F.col("ratio") >= min_ratio)
+        .select("id_a", "id_b", "ratio")
+    )
+
+
 # --- SimHash ---
 
 def simhash32(

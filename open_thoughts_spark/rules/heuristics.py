@@ -92,8 +92,10 @@ def rule_flags(
     s = stripped(text)
     wc = word_count(text)
     flags: dict[str, Column] = {
-        # null/blank text
-        "empty": text.isNull() | (s == ""),
+        # null/blank text — wc==0 ⟺ stripped=="" (no non-whitespace run),
+        # reusing the already-computed count instead of materializing the
+        # stripped copy for every row
+        "empty": text.isNull() | (wc == 0),
         # Alpaca utils:140-145
         "too_short": wc <= config.TOO_SHORT_WORDS,
         "too_long": wc > config.TOO_LONG_WORDS,
