@@ -78,7 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
     the sf0.001 documents table (langid + perplexity + rules + scrub)."""
     docs = _t(spark, SF_DEFAULT, "documents")
     tr = derive_transcripts(docs)
-    out = quality_filter(tr, langid_mode="native")
+    out = quality_filter(tr, langid_mode="udf")
     return out.select(
         "conv_id", "turn_idx", "role", "lang", "lang_prob", "bits_per_char",
         "drop_reason", "keep", "scrubbed_text", "turn_rank",

@@ -95,9 +95,9 @@ df.count()  # page-cache warm
 # warm the EXACT plan shape on a slice: Janino codegen compile, C2 JIT of the
 # generated methods, and Python UDF worker fork all land here, not in the
 # timed region (a cluster amortizes these over hours; a 40s bench does not)
-quality_filter(df.limit(30000), langid_mode="native").filter(F.col("keep")).count()
+quality_filter(df.limit(30000), langid_mode="udf").filter(F.col("keep")).count()
 t0 = time.time()
-kept = quality_filter(df, langid_mode="native").filter(F.col("keep")).count()
+kept = quality_filter(df, langid_mode="udf").filter(F.col("keep")).count()
 dt = time.time() - t0
 print(json.dumps({"sec": dt, "kept": kept}))
 """

@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
         help="first generate the deterministic fixture with N_CONVS conversations at --input",
     )
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--langid-mode", choices=["native", "udf"], default="native")
+    p.add_argument("--langid-mode", choices=["native", "udf"], default="udf")
     p.add_argument("--master", default=None, help="override spark master")
     p.add_argument(
         "--checkpoint-dir",

@@ -41,7 +41,7 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 def quality_filter(
     df: DataFrame,
-    langid_mode: str = "native",
+    langid_mode: str = "udf",
     with_turn_order: bool = True,
     with_conv_stats: bool = False,
     compute_ppl: bool = True,
@@ -50,9 +50,12 @@ def quality_filter(
     """Attach lang/lang_prob, bits_per_char, rule flags, drop_reason, keep,
     scrubbed_text (and optionally window/conv-level columns) to transcripts.
 
-    ``langid_mode``: 'native' = pure Catalyst regexp_count exprs (fastest);
-    'udf' = vectorized pandas-UDF harness (identical results; the shape a real
-    fastText model plugs into).
+    ``langid_mode``: 'udf' (default) = vectorized pandas-UDF harness — the
+    shape a real fastText model plugs into, and measured FASTER than the
+    native variant (pandas str.count over Arrow batches beats five
+    regexp_count exprs because each JVM regex call re-materializes the
+    UTF-16 string); 'native' = pure Catalyst regexp_count exprs (identical
+    results, no Python dependency — the right mode for SQL-only contexts).
     """
     scored = with_langid_udf(df) if langid_mode == "udf" else with_langid(df)
     if compute_ppl:
