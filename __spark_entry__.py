@@ -983,6 +983,36 @@ def q_classifier_filter(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_customers_intersect_years(spark, sf_dir):
+    """INTERSECT set op: customers active in both 1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+SQL_CUSTOMERS_INTERSECT = """
+    select o_custkey from orders where year(o_orderdate) = 1995
+    intersect
+    select o_custkey from orders where year(o_orderdate) = 1996
+"""
+
+
+def q_customers_except_years(spark, sf_dir):
+    """EXCEPT set op: customers active in 1995 but not in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)  # EXCEPT DISTINCT semantics
+
+
+SQL_CUSTOMERS_EXCEPT = """
+    select distinct o_custkey from orders where year(o_orderdate) = 1995
+    except
+    select o_custkey from orders where year(o_orderdate) = 1996
+"""
+
+
 def q_levenshtein_pairs(spark, sf_dir):
     """Blocked edit-distance fuzzy pairs (the fuzzy-dedup verify channel)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1108,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": q_simhash_neardup,
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
+        "customers_intersect_years": q_customers_intersect_years,
+        "customers_except_years": q_customers_except_years,
         "dedup_levenshtein_pairs": q_levenshtein_pairs,
         "majority_vote_per_user": q_majority_vote,
         "k_shortest_per_lang": q_k_shortest,
@@ -1151,6 +1183,8 @@ def oracle_sql() -> dict[str, str]:
         "repeat_dataset_regions": SQL_REPEAT_DATASET,
         "events_dedup_first": SQL_EVENTS_DEDUP_FIRST,
         "dedup_simhash_neardup": sql_simhash_neardup(),
+        "customers_intersect_years": SQL_CUSTOMERS_INTERSECT,
+        "customers_except_years": SQL_CUSTOMERS_EXCEPT,
         "dedup_levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
         "majority_vote_per_user": SQL_MAJORITY_VOTE,
         "k_shortest_per_lang": SQL_K_SHORTEST,

@@ -28,6 +28,27 @@ def write_table(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join key.
+
+    Two tables bucketed the same way join WITHOUT a shuffle — the
+    pre-partitioning is the lakehouse answer to repeated co-located joins at
+    100 TB (pay the shuffle once at write time, never again at read time).
+    Plan evidence: tests/test_plans.py asserts the bucketed join has no
+    Exchange."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def upload_metadata(
     spark: SparkSession, df: DataFrame, destination: str, key_cols: list[str]
 ) -> DataFrame:

@@ -85,3 +85,29 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = plan_of(entrymod.q_tpch_q1(spark, SF))
     # HashAggregate appears twice: partial (map-side) + final (post-shuffle)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from open_thoughts_spark.sources.sinks import write_bucketed_table
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    write_bucketed_table(o, "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed_table(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", ["o_custkey"], 8,
+        sort_cols=["o_custkey"],
+    )
+    try:
+        # hint("merge") keeps Catalyst from broadcasting these (tiny) tables
+        # so the bucketed sort-merge path — the one that matters at 100 TB,
+        # where neither side broadcasts — is what the plan shows
+        joined = spark.table("b_orders").hint("merge").join(
+            spark.table("b_customer").hint("merge"), on="o_custkey"
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, "bucketed join should be shuffle-free"
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("drop table if exists b_orders")
+        spark.sql("drop table if exists b_customer")
