@@ -51,6 +51,12 @@ SHINGLE_SIZE = 3  # word shingles
 # --- fastText-style scoring batch size (fasttext_operator.py:40) ---
 SCORE_BATCH_SIZE = 500
 
+# --- boilerplate list scope: False = curated refusal/AI-disclosure subset
+# (the quality-filter north-rule target), True = the reference's complete
+# 228-phrase WizardLM blacklist (wizardlm_clean.py:9-243; includes topical
+# phrases — higher drop rate, exact reference parity) ---
+BOILERPLATE_FULL_LIST = False
+
 # --- rule names, in cascade precedence order (first hit wins; mirrors the
 # reason-cascade pattern of Alpaca/utils.py:135-161) ---
 RULE_ORDER = [

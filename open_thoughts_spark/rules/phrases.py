@@ -97,17 +97,34 @@ def _escape_literal(s: str) -> str:
     return re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", s)
 
 
-def boilerplate_regex() -> str:
+def load_full_wizardlm_list() -> list[str]:
+    """The complete 228-phrase blacklist (wizardlm_clean.py:9-243), shipped
+    as a data file so exact reference parity is available."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "unwanted_phrases.txt")
+    with open(path, encoding="utf-8") as f:
+        return [ln.rstrip("\n") for ln in f if ln.strip() and not ln.startswith("#")]
+
+
+def boilerplate_regex(full_wizardlm: bool | None = None) -> str:
     """One case-insensitive alternation covering all three families.
 
     Anchored prefixes get ``^``; everything else is a bare search. Usable
     verbatim in Spark ``rlike``, Python ``re.search`` and DuckDB
-    ``regexp_matches``.
+    ``regexp_matches``. ``full_wizardlm`` switches between the curated
+    refusal/AI-disclosure subset (default) and the complete 228-phrase
+    reference list (config.BOILERPLATE_FULL_LIST governs the default).
     """
+    from open_thoughts_spark import config
+
+    if full_wizardlm is None:
+        full_wizardlm = config.BOILERPLATE_FULL_LIST
+    phrases = load_full_wizardlm_list() if full_wizardlm else WIZARDLM_PHRASES
     parts: list[str] = []
     parts.extend(AIROBOROS_REGEXES)
     parts.extend("^" + _escape_literal(p) for p in AIROBOROS_PREFIXES)
-    parts.extend(_escape_literal(p) for p in WIZARDLM_PHRASES)
+    parts.extend(_escape_literal(p) for p in phrases)
     return "(?i)(" + "|".join(parts) + ")"
 
 

@@ -75,3 +75,23 @@ def test_null_text_is_empty(spark):
     )
     out = quality_filter(df, with_turn_order=False)
     assert out.select("drop_reason").collect()[0][0] == "empty"
+
+
+def test_full_wizardlm_list_mode(spark):
+    from open_thoughts_spark.rules import phrases
+    import re
+
+    full = phrases.load_full_wizardlm_list()
+    assert len(full) == 228
+    rx_full = re.compile(phrases.boilerplate_regex(full_wizardlm=True))
+    rx_sub = re.compile(phrases.boilerplate_regex(full_wizardlm=False))
+    # topical phrase only in the full reference list
+    assert rx_full.search("that would be ableist of me to say")
+    assert not rx_sub.search("that would be ableist of me to say")
+    # refusal phrases in both
+    for rx in (rx_full, rx_sub):
+        assert rx.search("As an AI language model, no.")
+    # the full alternation stays in the portable dialect (compiles in Java too)
+    df = spark.createDataFrame([("as an AI I cannot",)], "text string")
+    from pyspark.sql import functions as F
+    assert df.filter(F.col("text").rlike(phrases.boilerplate_regex(True))).count() == 1
