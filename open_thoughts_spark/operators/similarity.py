@@ -163,6 +163,55 @@ def embedding_near_dup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def greedy_online_filter(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    order_cols: list[str],
+    max_similarity: float,
+    max_rows: int = 2_000_000,
+) -> DataFrame:
+    """EXACT reference-parity mode of the FAISS greedy online filter.
+
+    The reference scans shards sequentially through one stateful FAISS actor:
+    each row is kept iff its nearest kept-so-far neighbor is below the
+    similarity threshold, then added to the index
+    (similarity_filtering_operator.py:42-205). That algorithm is inherently
+    order-dependent and single-threaded — so this mode sorts by
+    ``order_cols`` (the explicit arrival order), processes everything in ONE
+    mapInPandas partition with a growing normalized-matrix "index", and is
+    guarded against big inputs. Use ``embedding_near_dup`` / ``cosine_pairs``
+    (batch keep-min-id) for the scalable near-equivalent.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"greedy_online_filter is the order-exact single-node mode "
+            f"({n} rows > {max_rows}); use embedding_near_dup at scale"
+        )
+    ordered = df.orderBy(*order_cols).coalesce(1)
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}"
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kept_vecs: list[np.ndarray] = []
+        for pdf in batches:
+            keep_ids = []
+            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float64)
+                norm = np.linalg.norm(v)
+                v = v / norm if norm > 0 else v
+                if kept_vecs:
+                    sims = np.stack(kept_vecs) @ v
+                    if sims.max() > max_similarity:
+                        continue
+                kept_vecs.append(v)
+                keep_ids.append(rid)
+            yield pd.DataFrame({id_col: keep_ids})
+
+    kept = ordered.mapInPandas(_scan, schema=out_schema)
+    return df.join(kept, on=id_col, how="inner")
+
+
 # --- ANN: random-hyperplane LSH (scale path) ---
 
 def _planes(dim: int, n_planes: int) -> np.ndarray:

@@ -49,3 +49,37 @@ def test_lsh_buckets_prune_pair_space(spark):
     )
     n = df.count()
     assert cand < 0.1 * n * n, "LSH buckets do not prune the pair space"
+
+
+def test_greedy_online_filter_order_exact(spark):
+    """The single-node reference-parity mode matches a pure-python replay."""
+    import numpy as np
+    import pytest
+    from open_thoughts_spark.operators.similarity import greedy_online_filter
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((60, 8))
+    vecs[10] = vecs[3] * 1.5          # same direction as 3 → filtered
+    vecs[20] = vecs[7] + 0.01 * rng.standard_normal(8)  # near-dup of 7
+    rows = [(i, vecs[i].tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(5)
+    got = sorted(
+        r["vec_id"]
+        for r in greedy_online_filter(
+            df, "vec_id", "embedding", ["vec_id"], max_similarity=0.9
+        ).collect()
+    )
+
+    # python replay of the reference algorithm (arrival order = vec_id)
+    kept, kept_ids = [], []
+    for i in range(60):
+        v = vecs[i] / np.linalg.norm(vecs[i])
+        if kept and max(np.stack(kept) @ v) > 0.9:
+            continue
+        kept.append(v)
+        kept_ids.append(i)
+    assert got == kept_ids
+    assert 10 not in got and 20 not in got
+
+    with pytest.raises(ValueError, match="at scale"):
+        greedy_online_filter(df, "vec_id", "embedding", ["vec_id"], 0.9, max_rows=10)
