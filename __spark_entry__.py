@@ -983,6 +983,57 @@ def q_classifier_filter(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_part_supplier_revenue(spark, sf_dir):
+    """Part-brand revenue with supplier dimension (covers part + supplier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n), sup.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PART_SUPPLIER_REVENUE = """
+    select p_brand, n_name,
+      sum(cast(round(l_extendedprice*100) as bigint)) as revenue_cents,
+      sum(cast(l_quantity as bigint)) as qty,
+      count(*) as n_items
+    from lineitem
+    join part on l_partkey = p_partkey
+    join supplier on l_suppkey = s_suppkey
+    join nation on s_nationkey = n_nationkey
+    group by p_brand, n_name
+"""
+
+
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: JSON props field aggregated per type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+    select event_type,
+      sum(cast(json_extract_string(props, '$.k') as bigint)) as sum_k,
+      count(case when cast(json_extract_string(props, '$.k') as bigint) > 50
+                 then 1 end) as n_high_k
+    from events group by event_type
+"""
+
+
 def q_customers_intersect_years(spark, sf_dir):
     """INTERSECT set op: customers active in both 1995 and 1996."""
     o = _t(spark, sf_dir, "orders")
@@ -1138,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_neardup": q_simhash_neardup,
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
+        "part_supplier_revenue": q_part_supplier_revenue,
+        "events_json_extract": q_events_json_extract,
         "customers_intersect_years": q_customers_intersect_years,
         "customers_except_years": q_customers_except_years,
         "dedup_levenshtein_pairs": q_levenshtein_pairs,
@@ -1183,6 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         "repeat_dataset_regions": SQL_REPEAT_DATASET,
         "events_dedup_first": SQL_EVENTS_DEDUP_FIRST,
         "dedup_simhash_neardup": sql_simhash_neardup(),
+        "part_supplier_revenue": SQL_PART_SUPPLIER_REVENUE,
+        "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
         "customers_intersect_years": SQL_CUSTOMERS_INTERSECT,
         "customers_except_years": SQL_CUSTOMERS_EXCEPT,
         "dedup_levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
