@@ -111,3 +111,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("drop table if exists b_orders")
         spark.sql("drop table if exists b_customer")
+
+
+def test_partitioned_write_prunes_on_read(spark, transcripts_path, tmp_path):
+    """Lakehouse layout: writing decisions partitioned by event date means a
+    date-filtered read scans only matching partitions (PartitionFilters in
+    the plan) — the Iceberg-partition-pruning story on plain parquet."""
+    from open_thoughts_spark.sources.sinks import write_table
+
+    df = spark.read.parquet(transcripts_path).withColumn(
+        "ts_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "bydate")
+    write_table(df, out, partition_by=["ts_date"])
+    back = spark.read.parquet(out).filter(F.col("ts_date") == "2025-01-05")
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(ts_date" in plan
+    # and the scan carries the date predicate as a partition filter, not a
+    # data filter over all files
+    assert "(ts_date" in plan.split("PartitionFilters")[1][:120]
