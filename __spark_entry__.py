@@ -109,10 +109,10 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
     select l_returnflag, l_linestatus,
-      sum(cast(l_quantity as bigint)) as sum_qty,
-      sum(cast(round(l_extendedprice*100) as bigint)) as sum_base_cents,
-      sum(cast(round(l_extendedprice*100) as bigint)
-          * (100 - cast(round(l_discount*100) as bigint))) as sum_disc_cents_pct,
+      cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+      cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) as sum_base_cents,
+      cast(sum(cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))) as bigint) as sum_disc_cents_pct,
       count(*) as count_order
     from lineitem
     where l_shipdate <= timestamp '1998-09-02'
@@ -137,8 +137,8 @@ def q_tpch_q3(spark, sf_dir):
 
 SQL_TPCH_Q3 = """
     select l_orderkey,
-      sum(cast(round(l_extendedprice*100) as bigint)
-          * (100 - cast(round(l_discount*100) as bigint))) as revenue_cents_pct
+      cast(sum(cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))) as bigint) as revenue_cents_pct
     from lineitem
     join orders on l_orderkey = o_orderkey
     join customer on o_custkey = c_custkey
@@ -172,8 +172,8 @@ def q_tpch_q5(spark, sf_dir):
 
 SQL_TPCH_Q5 = """
     select r_name,
-      sum(cast(round(l_extendedprice*100) as bigint)
-          * (100 - cast(round(l_discount*100) as bigint))) as revenue_cents_pct,
+      cast(sum(cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint))) as bigint) as revenue_cents_pct,
       count(*) as n_items
     from lineitem
     join orders on l_orderkey = o_orderkey
@@ -203,7 +203,7 @@ def q_events_daily(spark, sf_dir):
 SQL_EVENTS_DAILY = """
     select strftime(ts, '%Y-%m-%d') as event_date, event_type,
       count(*) as n_events,
-      sum(cast(round(value*100) as bigint)) as value_cents,
+      cast(sum(cast(round(value*100) as bigint)) as bigint) as value_cents,
       count(distinct user_id) as n_users
     from events
     group by 1, 2
@@ -237,7 +237,7 @@ SQL_EVENTS_SESSIONIZE = """
              then 1 else 0 end as new_sess
       from events
     )
-    select user_id, sum(new_sess) as n_sessions, count(*) as n_events
+    select user_id, cast(sum(new_sess) as bigint) as n_sessions, count(*) as n_events
     from g group by user_id
 """
 
@@ -280,9 +280,9 @@ def q_orders_running_total(spark, sf_dir):
 
 SQL_ORDERS_RUNNING_TOTAL = """
     select o_custkey, o_orderkey,
-      sum(cast(round(o_totalprice*100) as bigint))
+      cast(sum(cast(round(o_totalprice*100) as bigint))
         over (partition by o_custkey order by o_orderdate, o_orderkey
-              rows between unbounded preceding and current row) as running_cents
+              rows between unbounded preceding and current row) as bigint) as running_cents
     from orders
 """
 
@@ -300,11 +300,11 @@ def q_events_pivot(spark, sf_dir):
 
 SQL_EVENTS_PIVOT = """
     select user_id,
-      sum(case when event_type='click' then 1 else 0 end) as n_click,
-      sum(case when event_type='view' then 1 else 0 end) as n_view,
-      sum(case when event_type='purchase' then 1 else 0 end) as n_purchase,
-      sum(case when event_type='signup' then 1 else 0 end) as n_signup,
-      sum(case when event_type='error' then 1 else 0 end) as n_error
+      cast(sum(case when event_type='click' then 1 else 0 end) as bigint) as n_click,
+      cast(sum(case when event_type='view' then 1 else 0 end) as bigint) as n_view,
+      cast(sum(case when event_type='purchase' then 1 else 0 end) as bigint) as n_purchase,
+      cast(sum(case when event_type='signup' then 1 else 0 end) as bigint) as n_signup,
+      cast(sum(case when event_type='error' then 1 else 0 end) as bigint) as n_error
     from events group by user_id
 """
 
@@ -865,8 +865,8 @@ def q_region_rollup(spark, sf_dir):
 
 SQL_REGION_ROLLUP = """
     select r_name, n_name,
-      sum(cast(round(o_totalprice*100) as bigint)) as total_cents,
-      grouping(r_name, n_name) as gid
+      cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) as total_cents,
+      cast(grouping(r_name, n_name) as bigint) as gid
     from orders
     join customer on o_custkey = c_custkey
     join nation on c_nationkey = n_nationkey
@@ -1004,8 +1004,8 @@ def q_part_supplier_revenue(spark, sf_dir):
 
 SQL_PART_SUPPLIER_REVENUE = """
     select p_brand, n_name,
-      sum(cast(round(l_extendedprice*100) as bigint)) as revenue_cents,
-      sum(cast(l_quantity as bigint)) as qty,
+      cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) as revenue_cents,
+      cast(sum(cast(l_quantity as bigint)) as bigint) as qty,
       count(*) as n_items
     from lineitem
     join part on l_partkey = p_partkey
@@ -1027,7 +1027,7 @@ def q_events_json_extract(spark, sf_dir):
 
 SQL_EVENTS_JSON_EXTRACT = """
     select event_type,
-      sum(cast(json_extract_string(props, '$.k') as bigint)) as sum_k,
+      cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
       count(case when cast(json_extract_string(props, '$.k') as bigint) > 50
                  then 1 end) as n_high_k
     from events group by event_type
@@ -1100,7 +1100,7 @@ SQL_MAJORITY_VOTE = """
       select user_id, event_type as _a, count(*) as votes
       from events group by 1, 2
     ), totals as (
-      select user_id, sum(votes) as total from counted group by 1
+      select user_id, cast(sum(votes) as bigint) as total from counted group by 1
     )
     select c.user_id, c._a as majority_answer, c.votes, t.total
     from (

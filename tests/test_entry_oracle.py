@@ -35,6 +35,8 @@ def _normalize(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def canon(v):
+        # Strict like the driver's value hash: int and float are DIFFERENT
+        # (DuckDB sum() returns HUGEINT/decimal — oracle SQL must cast back).
         if isinstance(v, bool):
             return ("b", v)
         if isinstance(v, float):
@@ -42,7 +44,7 @@ def _normalize(rows, columns):
                 return ("f", "nan")
             return ("f", round(v, 9))
         if isinstance(v, int):
-            return ("f", float(v)) if abs(v) < 2**52 else ("i", v)
+            return ("i", v)
         return (type(v).__name__, str(v))
 
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
