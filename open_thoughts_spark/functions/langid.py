@@ -45,11 +45,26 @@ LANG_WORDS: dict[str, list[str]] = {
     "fr": ["le", "les", "et", "est", "pour", "vous", "dans", "une", "qui", "avec", "mais", "sont"],
 }
 
+def _portable_word(w: str) -> str:
+    """Non-ASCII letters as explicit [xX] classes: Java's (?i) folds ASCII
+    only while RE2 folds Unicode, so spelling both cases out makes all three
+    engines agree on e.g. 'für' vs 'FÜR'."""
+    out = []
+    for c in w:
+        if ord(c) > 127 and c.lower() != c.upper():
+            out.append(f"[{c.lower()}{c.upper()}]")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 # Marker regexes (case-insensitive where alphabetic). Literal CJK range for zh
-# keeps the pattern valid in Java regex, Python re, and RE2 alike.
+# keeps the pattern valid in Java regex, Python re, and RE2 alike. \b is
+# Unicode-aware in BOTH Java (JDK quirk) and default Python — they agree;
+# RE2's ASCII \b agrees on ASCII text (see rules/phrases.py).
 MARKERS: dict[str, str] = {
     **{
-        lang: "(?i)\\b(" + "|".join(words) + ")\\b"
+        lang: "(?i)\\b(" + "|".join(_portable_word(w) for w in words) + ")\\b"
         for lang, words in LANG_WORDS.items()
     },
     "zh": "[一-鿿]",

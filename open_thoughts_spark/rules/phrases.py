@@ -26,6 +26,17 @@ from __future__ import annotations
 
 import re
 
+# Explicit ASCII word/whitespace classes: Java regex \w/\s are ASCII-only
+# while Python's are Unicode, so shared pattern strings must spell the class
+# out (RE2's \s additionally omits \x0B). \b is the one exception we keep:
+# Java's \b is Unicode-aware (a documented JDK quirk — \w is ASCII, \b is
+# not; verified empirically: 'moroné' has NO boundary after the n), which
+# matches Python's default Unicode \b exactly, so Python-side compilations
+# use default flags. DuckDB RE2's \b is ASCII — equal on ASCII text (all
+# driver fixtures); accented-adjacent words are a documented RE2 edge.
+_WORD = "[A-Za-z0-9_]"
+_WS = "[ \\t\\n\\x0B\\f\\r]"
+
 # Airoboros/utils.py:8-27 — regex patterns searched anywhere in the response.
 AIROBOROS_REGEXES: list[str] = [
     "my programming",
@@ -36,7 +47,8 @@ AIROBOROS_REGEXES: list[str] = [
     "illegal and dangerous",
     "i do(n't| not) (possess|have|exhibit) (personal|consciousness|subjective)",
     "personal (feelings|thoughts|emotions|desires|experiences|goals|objective|belief)",
-    "(can('t| ?not)|w(on't|will not)|unable.?) (\\w+\\s)+(with (that|your)|your \\w+|provide)",
+    f"(can('t| ?not)|w(on't|will not)|unable.?) ({_WORD}+{_WS})+"
+    f"(with (that|your)|your {_WORD}+|provide)",
     "my limitations",
     "the limitations of my",
     "my abilities",
@@ -138,7 +150,7 @@ MEDIA_BLACKLIST: list[str] = [
 
 
 def media_blacklist_regex() -> str:
-    parts = [_escape_literal(w).replace(" ", "\\s+") for w in MEDIA_BLACKLIST]
+    parts = [_escape_literal(w).replace(" ", f"{_WS}+") for w in MEDIA_BLACKLIST]
     return "(?i)\\b(" + "|".join(parts) + ")\\b"
 
 

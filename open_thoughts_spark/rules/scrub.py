@@ -70,6 +70,8 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
     ("trim", "^ +| +$", "", "^ | $"),
 ]
 
+# default flags: Java's \b is Unicode-aware like Python's default (JDK
+# quirk — see rules/phrases.py), so the compiled patterns match Spark exactly
 _COMPILED = [(re.compile(p), r) for _, p, r, _g in SCRUB_STEPS]
 
 

@@ -27,6 +27,9 @@ ALPHABETS = [
     " \t\n\x0b\f\r",
     "éüñçøâ一二三中文테스트русский",
     "@.+-_<>|{}[]()$%^&*!~`'\"\\",
+    # mixed ASCII words + accented letters: exercises \b / word-class
+    # boundaries where Java (ASCII) and default Python (Unicode) diverge
+    "el la los the und ist für hélp cópe éü " + string.ascii_lowercase,
 ]
 
 TARGETED = [
@@ -36,6 +39,11 @@ TARGETED = [
     "ends with backslash \\", "\\d+ regex literal", "<|endoftext|>",
     "http://x.y [image]", "el la los que es como por una para",
     "der die das und ist nicht", "一二三四五", None,
+    # ASCII-vs-Unicode word-boundary regressions (ADVICE r1): \w/\s/\b
+    # must behave identically in Spark (Java), pandas (re.ASCII) and DuckDB
+    "cannot hélp with that", "unable to cópe with your plan",
+    "laé elü istö fürx", "moroné and sk-ABCdef123456é",
+    "drew the imageé and the érmap here", "FÜR DIE ÜBUNG",
 ]
 
 ROLES = ["user", "assistant", "system", "tool"]
