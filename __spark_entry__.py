@@ -509,13 +509,19 @@ def q_minhash_signatures(spark, sf_dir):
     return sig
 
 
+# DuckDB equivalent of dedup.words_expr: lowercase, trim, split on ASCII
+# whitespace runs (string_split on ' ' would diverge on uppercase or
+# multi-space text even though the fixture happens to be normalized).
+WORDS_SQL = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
+
+
 def sql_minhash_signatures():
     mins = ",\n      ".join(
         f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8)
     )
     return f"""
         with w as (
-          select doc_id, string_split(text, ' ') as words from documents
+          select doc_id, {WORDS_SQL} as words from documents
         ), sh as (
           select doc_id, distinct_sh as sh from (
             select doc_id, unnest(list_distinct([
@@ -551,7 +557,7 @@ def sql_minhash_pairs():
     bands = " union all ".join(band_rows)
     return f"""
         with w as (
-          select doc_id, string_split(text, ' ') as words from documents
+          select doc_id, {WORDS_SQL} as words from documents
         ), sh as (
           select doc_id, unnest(list_distinct([
             array_to_string(words[i:i+2], ' ')
@@ -599,7 +605,7 @@ def sql_simhash():
     )
     return f"""
         with w as (
-          select doc_id, unnest(string_split(lower(trim(text)), ' ')) as w
+          select doc_id, unnest({WORDS_SQL}) as w
           from documents
         ), f as (select doc_id, w from w where w != ''),
         s as (select doc_id, {sums} from f group by doc_id)
@@ -617,9 +623,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def sql_ngram_jaccard():
-    return """
+    return f"""
         with w as (
-          select doc_id, lang, string_split(lower(trim(text)), ' ') as words
+          select doc_id, lang, {WORDS_SQL} as words
           from documents
         ), sh as (
           select doc_id, lang, unnest(list_distinct([
@@ -651,9 +657,9 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate.contaminated_ids(pool, eval_df, "doc_id", "text", n=3)
 
 
-SQL_DECONTAMINATE = """
+SQL_DECONTAMINATE = f"""
     with w as (
-      select doc_id, source, string_split(lower(trim(text)), ' ') as words
+      select doc_id, source, {WORDS_SQL} as words
       from documents
     ), sh as (
       select doc_id, source, unnest(list_distinct([
@@ -730,18 +736,71 @@ SQL_KNN = """
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH (no SQL oracle — model-side
-    plane generation; driver records the weaker rows-only check)."""
+    """Approximate NN via random-hyperplane LSH. Planes are md5-derived
+    integer weights over trunc(v*1e6)-quantized vectors (exact int64
+    projections), so bucketing + multiprobe + in-bucket cosine replay
+    exactly in DuckDB (was rows-only in r1)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_lsh_topk(emb, queries, k=5)
+    return similarity.ann_lsh_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+ANN_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+SQL_ANN_LSH = """
+    with v as (
+      select vec_id, embedding::double[] as e,
+        list_transform(embedding::double[],
+                       x -> cast(trunc(x * 1000000) as bigint)) as q
+      from embeddings
+    ), w as (
+      select p, i,
+        ('0x' || substr(md5(p::varchar || '|' || i::varchar), 1, 8))::bigint
+          % 16 - 8 as wt
+      from range(8) t(p), range(64) d(i)
+    ), proj as (
+      select vec_id, p, sum(q[i + 1] * wt) as s
+      from v, w group by 1, 2
+    ), bkt as (
+      select vec_id,
+        cast(sum(case when s > 0 then 1::bigint << p else 0 end) as bigint)
+          as bucket
+      from proj group by 1
+    ), qprobe as (
+      select distinct b.vec_id, xor(b.bucket, f.f) as bucket
+      from bkt b, (select unnest([0,1,2,4,8,16,32,64,128]) as f) f
+      where b.vec_id < 10
+    ), cand as (
+      select distinct q.vec_id as query_id, c.vec_id as neighbor_id
+      from qprobe q join bkt c on q.bucket = c.bucket
+      where c.vec_id != q.vec_id
+    ), sims as (
+      select cand.query_id, cand.neighbor_id,
+        round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) as sim6
+      from cand join v a on a.vec_id = cand.query_id
+                join v b on b.vec_id = cand.neighbor_id
+    )
+    select query_id, neighbor_id, rank from (
+      select query_id, neighbor_id,
+        row_number() over (partition by query_id
+                           order by sim6 desc, neighbor_id) as rank
+      from sims
+    ) where rank <= 5
+"""
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within label blocks."""
+    """Embedding-cosine near-dup pairs within label blocks. Threshold 0.4
+    verifies non-zero pairs on the driver fixture (max in-block cosine is
+    ~0.47; 0.6 returned 0 rows and made the gate vacuous — VERDICT r1)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(
-        emb, "vec_id", "embedding", min_cosine=0.6, block_col="label"
+        emb, "vec_id", "embedding", min_cosine=0.4, block_col="label"
     )
 
 
@@ -754,7 +813,7 @@ SQL_EMBEDDING_NEARDUP = """
     from v a join v b on a.label = b.label and a.vec_id < b.vec_id
     where round(list_dot_product(a.e, b.e) /
           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
-          >= 0.6
+          >= 0.4
 """
 
 
@@ -957,20 +1016,56 @@ def sql_simhash_neardup():
 
 
 def q_embed_and_knn(spark, sf_dir):
-    """End-to-end: embed documents (hermetic encoder UDF) then self-kNN.
-    Model-side hashing — no SQL oracle (rows-only check)."""
+    """End-to-end: embed documents (hermetic md5-BoW encoder UDF) then
+    self-kNN. normalize=False keeps integer term counts, so every dot/norm
+    is an exact integer sum and the DuckDB oracle matches bit-for-bit
+    (cosine is normalization-invariant)."""
     from open_thoughts_spark.operators.embedding import embed_texts
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
-    emb = embed_texts(docs, dim=32).select("doc_id", "embedding")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = embed_texts(
+        docs, dim=32, max_chars=1_000_000_000, normalize=False
+    ).select("doc_id", "embedding")
     return similarity.knn_bruteforce(
         emb, emb.filter(F.col("doc_id") < 5), id_col="doc_id", k=3
+    ).select("query_id", "neighbor_id", "rank")
+
+
+SQL_EMBED_KNN = f"""
+    with toks as (
+      select doc_id, t from (
+        select doc_id, unnest(string_split_regex(lower(text), '{ANN_WS}')) as t
+        from documents where doc_id < 200
+      ) where t != ''
+    ), cnt as (
+      select doc_id, ('0x' || substr(md5(t), 1, 8))::bigint % 32 as b,
+        count(*)::double as c
+      from toks group by 1, 2
+    ), nrm as (
+      select doc_id, sqrt(sum(c * c)) as nv from cnt group by 1
+    ), dots as (
+      select a.doc_id as query_id, b.doc_id as neighbor_id, sum(a.c * b.c) as dot
+      from cnt a join cnt b on a.b = b.b and b.doc_id != a.doc_id
+      where a.doc_id < 5
+      group by 1, 2
+    ), sims as (
+      select query_id, neighbor_id, round(dot / (na.nv * nb.nv), 6) as sim6
+      from dots join nrm na on na.doc_id = query_id
+                join nrm nb on nb.doc_id = neighbor_id
     )
+    select query_id, neighbor_id, rank from (
+      select query_id, neighbor_id,
+        row_number() over (partition by query_id
+                           order by sim6 desc, neighbor_id) as rank
+      from sims
+    ) where rank <= 3
+"""
 
 
 def q_classifier_filter(spark, sf_dir):
-    """Train NB on lang labels, keep docs scored 'en' > 0.5.
-    Model-side training — no SQL oracle (rows-only check)."""
+    """Train NB on lang labels, keep docs scored 'en' > 0.5. md5 token
+    hashing + integer count training means the whole train→score→filter
+    pipeline replays in DuckDB SQL (was rows-only in r1)."""
     from open_thoughts_spark.functions.classifier import (
         classifier_filter,
         train_text_classifier,
@@ -981,6 +1076,52 @@ def q_classifier_filter(spark, sf_dir):
     return classifier_filter(
         spark, docs, model, "text", "en", filter_threshold=0.5
     ).select("doc_id", "lang")
+
+
+SQL_CLASSIFIER_FILTER = f"""
+    with toks as (
+      select doc_id, t from (
+        select doc_id, unnest(string_split_regex(lower(text), '{ANN_WS}')) as t
+        from documents
+      ) where t != ''
+    ), tok_b as (
+      select doc_id, ('0x' || substr(md5(t), 1, 8))::bigint % 4096 as b
+      from toks
+    ), classes as (
+      select lang as cls, count(*) as n_docs from documents group by 1
+    ), consts as (
+      select count(*) as n_total, count(distinct lang) as n_cls from documents
+    ), prior as (
+      select cls, ln((n_docs + 1.0) / (n_total + n_cls)) as lp
+      from classes, consts
+    ), cnts as (
+      select d.lang as cls, tb.b, count(*) as f
+      from tok_b tb join documents d using (doc_id)
+      group by 1, 2
+    ), ctot as (
+      select cls, sum(f)::double as tot from cnts group by 1
+    ), lik as (
+      select g.doc_id, c.cls,
+        sum(ln((coalesce(k.f, 0) + 1.0) / (ct.tot + 4096.0))) as s_lik
+      from tok_b g cross join classes c
+      left join cnts k on k.cls = c.cls and k.b = g.b
+      join ctot ct on ct.cls = c.cls
+      group by 1, 2
+    ), sc as (
+      select d.doc_id, p.cls, p.lp + coalesce(l.s_lik, 0.0) as s
+      from documents d cross join prior p
+      left join lik l on l.doc_id = d.doc_id and l.cls = p.cls
+    ), sc2 as (
+      select doc_id, cls, s, max(s) over (partition by doc_id) as m from sc
+    ), p as (
+      select doc_id,
+        sum(case when cls = 'en' then exp(s - m) else 0 end)
+          / sum(exp(s - m)) as p_en
+      from sc2 group by doc_id
+    )
+    select d.doc_id, d.lang from documents d join p using (doc_id)
+    where p_en > 0.5
+"""
 
 
 def q_part_supplier_revenue(spark, sf_dir):
@@ -1244,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "majority_vote_per_user": SQL_MAJORITY_VOTE,
         "k_shortest_per_lang": SQL_K_SHORTEST,
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
-        # omitted (model-side, rows-only check): ann_lsh_top5,
-        # embed_docs_knn, classifier_lang_filter
+        "ann_lsh_top5": SQL_ANN_LSH,
+        "embed_docs_knn": SQL_EMBED_KNN,
+        "classifier_lang_filter": SQL_CLASSIFIER_FILTER,
     }

@@ -11,8 +11,10 @@ Reference semantics being reproduced (shape-for-shape):
   top-percentile keep (engine/operators/fasttext_operator.py:100-158).
 
 fastText isn't installed here, so the model is a hashed-feature multinomial
-Naive Bayes (public-textbook construction): deterministic crc32 token
-hashing into ``dim`` buckets, add-one smoothing, softmax probabilities. The
+Naive Bayes (public-textbook construction): deterministic md5 token
+hashing into ``dim`` buckets (md5 so training AND scoring replay exactly in
+the DuckDB oracle — functions/portable_hash.py), add-one smoothing, softmax
+probabilities. The
 Spark integration is the part that matters and is identical to what a real
 fastText model would use: train on a driver-side sample (optionally capped),
 broadcast the dense model arrays, score inside a scalar-iterator pandas UDF
@@ -21,7 +23,6 @@ with the model materialized once per executor.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -29,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from open_thoughts_spark.functions.portable_hash import ascii_tokens, md5_bucket
 
 
 @dataclass
@@ -48,10 +51,10 @@ class NBModel:
 
 
 def _token_ids(text: str, dim: int) -> np.ndarray:
-    toks = text.lower().split()
+    toks = ascii_tokens(text)
     if not toks:
         return np.empty(0, dtype=np.int64)
-    return np.array([zlib.crc32(t.encode()) % dim for t in toks], dtype=np.int64)
+    return np.array([md5_bucket(t, dim) for t in toks], dtype=np.int64)
 
 
 def train_text_classifier(

@@ -6,16 +6,17 @@ L2-normalize (/root/reference/open_thoughts_3/engine/operators/
 embedding_operator.py:60-93; also commons.py:652-741 GPU-batched variant).
 
 No embedding model ships in this container, so the encoder kernel is a
-deterministic hashed bag-of-words projection (crc32 token → bucket, tf
-weights, L2 norm). The operator harness is exactly what a real
-SentenceTransformer would use — scalar-iterator pandas UDF, model/buckets
-materialized once per executor, fragment chunking and weighted pooling done
-inside the Arrow batch — so swapping in a real encoder changes one function.
+deterministic hashed bag-of-words projection (md5 token → bucket, tf
+weights, L2 norm — md5 so the whole encode→search pipeline is expressible
+in the DuckDB correctness oracle, see functions/portable_hash.py). The
+operator harness is exactly what a real SentenceTransformer would use —
+scalar-iterator pandas UDF, model/buckets materialized once per executor,
+fragment chunking and weighted pooling done inside the Arrow batch — so
+swapping in a real encoder changes one function.
 """
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,23 +24,31 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_thoughts_spark.functions.portable_hash import ascii_tokens, md5_bucket
+
 
 def _encode_fragment(text: str, dim: int) -> np.ndarray:
     vec = np.zeros(dim, dtype=np.float64)
-    for tok in text.lower().split():
-        vec[zlib.crc32(tok.encode()) % dim] += 1.0
+    for tok in ascii_tokens(text):
+        vec[md5_bucket(tok, dim)] += 1.0
     return vec
 
 
-def embed_kernel(text: str, dim: int, max_chars: int) -> np.ndarray:
+def embed_kernel(
+    text: str, dim: int, max_chars: int, normalize: bool = True
+) -> np.ndarray:
     """Chunk → encode fragments → length-weighted mean → L2 normalize
-    (the :76-93 pooling semantics)."""
+    (the :76-93 pooling semantics). ``normalize=False`` keeps raw term
+    counts (single-fragment case) — integer-valued, so downstream cosine
+    arithmetic is exact and portable to the SQL oracle."""
     if not text:
         return np.zeros(dim, dtype=np.float64)
     frags = [text[i : i + max_chars] for i in range(0, len(text), max_chars)]
     weights = np.array([len(f) for f in frags], dtype=np.float64)
     mat = np.stack([_encode_fragment(f, dim) for f in frags])
     pooled = (mat * weights[:, None]).sum(axis=0) / weights.sum()
+    if not normalize:
+        return pooled
     norm = np.linalg.norm(pooled)
     return pooled / norm if norm > 0 else pooled
 
@@ -50,12 +59,16 @@ def embed_texts(
     out_col: str = "embedding",
     dim: int = 64,
     max_chars: int = 512,
+    normalize: bool = True,
 ) -> DataFrame:
     @F.pandas_udf("array<double>")
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in batches:
             yield pd.Series(
-                [embed_kernel(t or "", dim, max_chars) .tolist() for t in batch]
+                [
+                    embed_kernel(t or "", dim, max_chars, normalize).tolist()
+                    for t in batch
+                ]
             )
 
     return df.withColumn(out_col, _udf(F.col(text_col)))

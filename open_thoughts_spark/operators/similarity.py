@@ -151,15 +151,31 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     block_col: str | None = None,
+    lsh_planes: int = 12,
 ) -> DataFrame:
     """Drop rows with a near-identical embedding at a smaller id — the batch
     equivalent of the FAISS greedy online filter (similarity_filtering_
-    operator.py); keep-min-id replaces arrival order as the tiebreak."""
-    losers = (
-        cosine_pairs(df, id_col, vec_col, min_cosine, block_col)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    operator.py); keep-min-id replaces arrival order as the tiebreak.
+
+    Blocking: with no ``block_col``, rows are blocked by random-hyperplane
+    LSH bucket (``with_lsh_bucket``) — near-identical vectors (cosine ≥0.95)
+    land in the same bucket with high probability, and the pair join scales
+    with bucket occupancy instead of the quadratic cross join a ``None``
+    block used to mean (VERDICT r1). Pass an explicit ``block_col`` for
+    exact within-block semantics."""
+    if block_col is None:
+        blocked = with_lsh_bucket(df, vec_col, n_planes=lsh_planes)
+        losers = (
+            cosine_pairs(blocked, id_col, vec_col, min_cosine, "lsh_bucket")
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+    else:
+        losers = (
+            cosine_pairs(df, id_col, vec_col, min_cosine, block_col)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -214,9 +230,22 @@ def greedy_online_filter(
 
 # --- ANN: random-hyperplane LSH (scale path) ---
 
+QUANT = 1_000_000  # fixed vector quantization for integer-exact projections
+
+
 def _planes(dim: int, n_planes: int) -> np.ndarray:
-    rs = np.random.RandomState(271828)  # fixed — part of the operator contract
-    return rs.standard_normal((n_planes, dim)).astype(np.float64)
+    """Integer hyperplane weights in [-8, 7], md5-derived per (plane, dim).
+
+    md5 (not RandomState) so the bucket assignment replays exactly in the
+    DuckDB correctness oracle; integer weights × integer-quantized vectors
+    make the projection an exact int64 sum — no float summation-order
+    dependence across engines (functions/portable_hash.py)."""
+    from open_thoughts_spark.functions.portable_hash import plane_weight
+
+    return np.array(
+        [[plane_weight(p, i) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.int64,
+    )
 
 
 def with_lsh_bucket(
@@ -226,18 +255,22 @@ def with_lsh_bucket(
     """Attach a sign-pattern bucket id (int) from fixed random hyperplanes.
 
     Vectorized pandas UDF: the whole Arrow batch is one (B × dim) @ (dim × P)
-    matmul. Near-identical vectors share buckets; ANN = exact search within
-    bucket (plus optional multi-probe)."""
+    int64 matmul over trunc(v × 1e6)-quantized vectors. Near-identical
+    vectors share buckets; ANN = exact search within bucket (plus optional
+    multi-probe). SQL replay: ``sum(cast(trunc(x*1000000) as bigint) * w)``.
+    """
     planes_holder: dict[int, np.ndarray] = {}
 
     @F.pandas_udf("long")
     def _bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in batches:
-            mat = np.stack(batch.to_numpy())
+            mat = np.stack(batch.to_numpy()).astype(np.float64)
             dim = mat.shape[1]
             if dim not in planes_holder:
                 planes_holder[dim] = _planes(dim, n_planes)
-            signs = (mat.astype(np.float64) @ planes_holder[dim].T) > 0
+            # trunc (not round): DuckDB's bigint cast rounds, trunc() matches
+            qv = np.trunc(mat * QUANT).astype(np.int64)
+            signs = (qv @ planes_holder[dim].T) > 0
             weights = (1 << np.arange(n_planes, dtype=np.int64))
             yield pd.Series(signs @ weights)
 
