@@ -649,6 +649,82 @@ def sql_ngram_jaccard():
     """
 
 
+def q_dedup_closure(spark, sf_dir):
+    """Fuzzy-dedup transitive closure (union-find parity). Derives
+    bridge-shaped variants from each document — two disjoint halves (low
+    ids) plus the full text (highest id): each half is Jaccard-similar to
+    the full text but not to the other half, so single-pass pairwise
+    keep-min keeps BOTH halves while the reference's union-find closure
+    (deduplicate.py:37-49) groups all three. Output: (vid, component)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    w = dedup.words_expr(F.col("text"))
+    n2 = F.floor(F.size(w) / 2).cast("int")
+    left = F.array_join(F.slice(w, 1, n2), " ")
+    right = F.array_join(F.slice(w, n2 + 1, F.size(w) - n2), " ")
+    full = F.array_join(w, " ")
+    variants = (
+        docs.select((F.col("doc_id") * 3).alias("vid"), left.alias("text"))
+        .union(docs.select((F.col("doc_id") * 3 + 1).alias("vid"), right.alias("text")))
+        .union(docs.select((F.col("doc_id") * 3 + 2).alias("vid"), full.alias("text")))
+    )
+    pairs = dedup.jaccard_pairs(
+        variants, "vid", "text", shingle_n=2, min_jaccard=0.4
+    )
+    cc = dedup.connected_components(pairs)
+    return variants.join(cc, variants.vid == cc.node, "left").select(
+        "vid", F.coalesce(F.col("comp"), F.col("vid")).alias("component")
+    )
+
+
+def sql_dedup_closure():
+    return f"""
+        with recursive doc40 as (
+          select doc_id, {WORDS_SQL} as words from documents where doc_id < 40
+        ), halves as (
+          select doc_id, cast(floor(len(words) / 2) as int) as n2, words
+          from doc40
+        ), variants as (
+          select doc_id * 3 as vid, array_to_string(words[1:n2], ' ') as text
+          from halves
+          union all
+          select doc_id * 3 + 1,
+                 array_to_string(words[n2 + 1:len(words)], ' ') from halves
+          union all
+          select doc_id * 3 + 2, array_to_string(words, ' ') from halves
+        ), w2 as (
+          select vid,
+            string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') as words
+          from variants
+        ), sh as (
+          select vid, unnest(list_distinct([
+            array_to_string(words[i:i+1], ' ')
+            for i in range(1, greatest(len(words) - 1, 0) + 1)
+          ])) as sh
+          from w2
+        ), sizes as (
+          select vid, count(*) as n from sh group by 1
+        ), pairs as (
+          select c.id_a, c.id_b from (
+            select a.vid as id_a, b.vid as id_b, count(*) as common
+            from sh a join sh b on a.sh = b.sh and a.vid < b.vid
+            group by 1, 2
+          ) c
+          join sizes sa on sa.vid = c.id_a
+          join sizes sb on sb.vid = c.id_b
+          where c.common / (sa.n + sb.n - c.common)::double >= 0.4
+        ), edges as (
+          select id_a as src, id_b as dst from pairs
+          union
+          select id_b, id_a from pairs
+        ), r as (
+          select vid as node, vid as reach from variants
+          union
+          select r.node, e.dst from r join edges e on e.src = r.reach
+        )
+        select node as vid, min(reach) as component from r group by node
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     """n-gram decontamination: ids sharing a 3-gram with the src0 'eval' set."""
     docs = _t(spark, sf_dir, "documents")
@@ -1312,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_transitive_closure": q_dedup_closure,
         "decontaminate_ngram": q_decontaminate,
         "sample_stratified_by_lang": q_stratified_sample,
         "topn_longest_docs": q_topn_longest,
@@ -1362,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": sql_minhash_pairs(),
         "dedup_simhash": sql_simhash(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "dedup_transitive_closure": sql_dedup_closure(),
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,

@@ -173,6 +173,74 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) over the undirected pair graph; component = min
+    reachable node id — exactly the reference's union-find grouping
+    (/root/reference/open_thoughts/deduplicate.py:37-49), distributed.
+
+    Min-label propagation with per-round label compression (each node also
+    adopts the label of its current label — pointer doubling), so chains
+    converge in O(log diameter) rounds instead of O(diameter). Every round
+    is two shuffles (edge join + label join); frames are localCheckpoint'd
+    to truncate lineage. Near-dup clusters have tiny diameters in practice;
+    ``max_iter`` is a runaway bound, with convergence detected by counting
+    changed labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("_nc")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nc").alias("_nbr"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(nbr_min, on="node", how="left").select(
+            "node", F.least("comp", F.coalesce("_nbr", "comp")).alias("comp")
+        )
+        # label compression: comp := comp of comp (pointer doubling)
+        compressed = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("_cc")
+                ),
+                on="comp",
+                how="left",
+            )
+            .select("node", F.least("comp", F.coalesce("_cc", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            compressed.join(
+                labels.select("node", F.col("comp").alias("_old")), on="node"
+            )
+            .filter(F.col("comp") < F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -180,20 +248,30 @@ def minhash_dedup(
     min_jaccard: float = 0.8,
     num_perm: int = config.MINHASH_NUM_PERM,
     shingle_n: int = config.SHINGLE_SIZE,
+    transitive: bool = True,
 ) -> DataFrame:
-    """Drop every row that has a verified near-duplicate with a smaller id.
+    """Drop every row whose duplicate component has a smaller id.
 
-    One LSH pass (non-transitive: keeps the min-id representative of each
-    *pairwise* duplicate relation; the reference's union-find closure
-    (deduplicate.py:37-49) corresponds to iterating this to a fixpoint —
-    documented semantic difference, same as any scalable LSH dedup).
+    ``transitive=True`` (default) closes the verified-pair graph with
+    ``connected_components`` and keeps the min id per component — matching
+    the reference's union-find grouping (deduplicate.py:37-49) exactly.
+    ``transitive=False`` is the single-pass variant (drop any id_b of a
+    verified pair): cheaper (no iteration) and equal on star-shaped
+    clusters whose bridge is the max id — but it under-drops when two
+    keepers are linked only through a higher-id bridge.
     """
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
     cands = candidate_pairs(lsh_bands(sig, id_col), id_col)
     verified = jaccard_pairs(
         df, id_col, text_col, shingle_n, min_jaccard, pairs=cands
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        cc = connected_components(verified)
+        losers = cc.filter(F.col("comp") != F.col("node")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

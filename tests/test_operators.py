@@ -234,3 +234,38 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_kernel(b"abc", "image", deterministic_fake=False)
+
+
+# --- connected components / transitive closure ---
+
+def test_connected_components_bridge_and_chain(spark):
+    # bridge: 1-3, 2-3 near-dup pairs; 1 and 2 not directly similar.
+    # pairwise keep-min drops only 3; union-find closure groups {1,2,3}.
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    cc = {(r["node"], r["comp"]) for r in dedup.connected_components(pairs).collect()}
+    assert cc == {(1, 1), (2, 1), (3, 1)}
+
+    # long chain exercises pointer doubling: 0-1-2-...-9
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    cc2 = dedup.connected_components(chain, max_iter=6)
+    assert all(r["comp"] == 0 for r in cc2.collect())
+
+
+def test_minhash_dedup_transitive_vs_pairwise(spark):
+    # doc 2 = full text, docs 0/1 = disjoint halves: halves pair with the
+    # full text but not with each other (the 3-chain where answers differ)
+    left = "alpha beta gamma delta epsilon zeta"
+    right = "eta theta iota kappa lam mu"
+    rows = [(0, left), (1, right), (2, left + " " + right)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.jaccard_pairs(df, "id", "text", shingle_n=2, min_jaccard=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()}
+    assert got == {(0, 2), (1, 2)}
+
+    cc = dedup.connected_components(pairs)
+    losers_closure = {r["node"] for r in cc.filter("comp != node").collect()}
+    losers_pairwise = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    assert losers_pairwise == {2}
+    assert losers_closure == {1, 2}  # closure also drops the second half
