@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_thoughts_spark.functions.portable_hash import ascii_tokens, md5_bucket
@@ -73,15 +73,12 @@ def train_text_classifier(
     n = df.count()
     sample = df.select(text_col, label_col)
     if n > max_rows:
+        # ORDER BY hash + LIMIT → TakeOrderedAndProject (per-partition
+        # top-k), not a single-task global row_number window (VERDICT r1)
         keyed = sample.withColumn(
             "_k", F.abs(F.xxhash64(F.col(text_col), F.lit(seed)))
         )
-        w = Window.orderBy("_k")
-        sample = (
-            keyed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_rows)
-            .drop("_k", "_rn")
-        )
+        sample = keyed.orderBy("_k").limit(max_rows).drop("_k")
     pdf = sample.toPandas()
     classes = sorted(pdf[label_col].unique())
     cidx = {c: i for i, c in enumerate(classes)}
@@ -151,10 +148,8 @@ def classifier_filter(
     if just_add_scores:
         return scored
     if top_percentage is not None:
-        w = Window.orderBy(F.desc(score_col))
-        return (
-            scored.withColumn("_pr", F.percent_rank().over(w))
-            .filter(F.col("_pr") <= top_percentage / 100.0)
-            .drop("_pr")
-        )
+        # distinct-score aggregation instead of a full-table global window
+        from open_thoughts_spark.operators.relational import filter_rank
+
+        return filter_rank(scored, score_col, top_percentage / 100.0)
     return scored.filter(F.col(score_col) > filter_threshold)

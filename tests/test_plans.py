@@ -130,3 +130,50 @@ def test_partitioned_write_prunes_on_read(spark, transcripts_path, tmp_path):
     # and the scan carries the date predicate as a partition filter, not a
     # data filter over all files
     assert "(ts_date" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_uniform_sample_is_take_ordered_not_global_window(spark):
+    """VERDICT r1: the hash-keyed sample must not funnel the table through a
+    single-partition row_number window."""
+    plan = plan_of(entrymod.q_uniform_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_filter_rank_windows_over_distinct_scores_only(spark):
+    """filter_rank's window must run on the aggregated score domain (rows
+    flow through HashAggregate first), never on the raw table."""
+    from open_thoughts_spark.operators import relational
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = relational.filter_rank(df, "n_chars", 0.2)
+    plan = plan_of(out)
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan  # kept scores semi-joined back
+    # every Window node must consume the aggregated (score, _cnt) domain —
+    # i.e. its input carries the count column, proving no raw-table window
+    details = [seg for seg in plan.split("\n\n") if seg.startswith("(") and ") Window" in seg.split("\n")[0]]
+    assert details, "no Window detail section found"
+    assert all("_cnt" in d for d in details), details
+
+
+def test_filter_rank_matches_percent_rank_semantics(spark):
+    """Tie-heavy fixture: the distinct-score formulation must equal the
+    original full-table percent_rank filter exactly."""
+    from pyspark.sql import Window as W
+
+    from open_thoughts_spark.operators import relational
+
+    rows = [(i, [5, 5, 4, 3, 3, 3, 2, 1][i % 8]) for i in range(64)]
+    df = spark.createDataFrame(rows, "id int, score int")
+    for frac in (0.0, 0.1, 0.25, 0.5, 0.999, 1.0):
+        got = sorted(r["id"] for r in relational.filter_rank(df, "score", frac).collect())
+        ref = sorted(
+            r["id"]
+            for r in df.withColumn(
+                "_pr", F.percent_rank().over(W.orderBy(F.desc("score")))
+            )
+            .filter(F.col("_pr") <= frac)
+            .collect()
+        )
+        assert got == ref, frac
