@@ -464,6 +464,32 @@ def sql_text_stats():
     """
 
 
+def q_token_length_filter(spark, sf_dir):
+    """Exact-tokenizer token counting + length cutoff (the 16k-cutoff rule,
+    Stratos/filter_out_less_16k.py:69-72, cutoff scaled to fixture size).
+    The mini-BPE merge table replays in DuckDB as a replace chain, so the
+    count itself is value-checked — not a regex proxy."""
+    from open_thoughts_spark.functions.bpe import with_bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = with_bpe_token_count(docs)
+    return counted.select(
+        "doc_id",
+        F.col("bpe_count").alias("n_tokens"),
+        (F.col("bpe_count") >= 150).alias("keep_len"),
+    )
+
+
+def sql_token_length_filter():
+    from open_thoughts_spark.functions.bpe import bpe_count_sql
+
+    c = bpe_count_sql("text")
+    return f"""
+        select doc_id, {c} as n_tokens, ({c} >= 150) as keep_len
+        from documents
+    """
+
+
 def q_fingerprint_summary(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     fp = docs.withColumn("fingerprint", fingerprint_expr(F.col("text")))
@@ -482,6 +508,61 @@ SQL_FINGERPRINT_SUMMARY = """
 
 
 # --- dedup family ---
+
+def q_math_domain_filter(spark, sf_dir):
+    """Math/proof domain filter cascade (math/filter.py:4-18 +
+    MultipleSamples/utils.py:295-301). Problems/solutions are derived
+    deterministically from documents so every rule family fires on the
+    fixture (same injection pattern as the PII scrub query)."""
+    from open_thoughts_spark.rules.math_rules import with_math_decision
+
+    docs = _t(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    problem = (
+        F.when(m5 == 0, F.concat(F.lit("a) "), F.col("text"), F.lit(" b) part two")))
+        .when(m5 == 1, F.concat(F.col("text"), F.lit(" as shown in the Figure below")))
+        .when(m5 == 2, F.concat(F.lit("Prove that "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    m4 = F.col("doc_id") % 4
+    solution = (
+        F.when(m4 == 0, F.lit("QED. \\boxed{}"))
+        .when(m4 == 1, F.lit(""))
+        .when(m4 == 2, F.concat(F.lit("discussion: "), F.col("text")))
+        .otherwise(
+            F.concat(F.lit("thus \\boxed{"), (F.col("doc_id") % 97).cast("string"), F.lit("}"))
+        )
+    )
+    derived = docs.select(
+        "doc_id", problem.alias("problem"), solution.alias("solution")
+    )
+    return with_math_decision(derived).select(
+        "doc_id", "math_drop_reason", "keep_math"
+    )
+
+
+def sql_math_domain_filter():
+    from open_thoughts_spark.rules.math_rules import math_reason_sql
+
+    problem = (
+        "case when doc_id % 5 = 0 then 'a) ' || text || ' b) part two'"
+        " when doc_id % 5 = 1 then text || ' as shown in the Figure below'"
+        " when doc_id % 5 = 2 then 'Prove that ' || text"
+        " else text end"
+    )
+    solution = (
+        "case when doc_id % 4 = 0 then 'QED. \\boxed{}'"
+        " when doc_id % 4 = 1 then ''"
+        " when doc_id % 4 = 2 then 'discussion: ' || text"
+        " else 'thus \\boxed{' || (doc_id % 97)::varchar || '}' end"
+    )
+    reason = math_reason_sql(f"({problem})", f"({solution})")
+    return f"""
+        select doc_id, {reason} as math_drop_reason,
+          ({reason} is null) as keep_math
+        from documents
+    """
+
 
 def q_dedup_keyfirst(spark, sf_dir):
     """Exact dedup keep-first on a colliding key (lang, word_count)."""
@@ -1402,7 +1483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_docs_scrub_pii": q_qf_docs_scrub,
         "qf_transcripts_pipeline": q_qf_transcripts,
         "text_stats_docs": q_text_stats,
+        "token_length_filter": q_token_length_filter,
         "docs_fingerprint_summary": q_fingerprint_summary,
+        "math_domain_filter": q_math_domain_filter,
         "dedup_exact_keyfirst": q_dedup_keyfirst,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -1454,7 +1537,9 @@ def oracle_sql() -> dict[str, str]:
         "qf_docs_scrub_pii": sql_qf_docs_scrub(),
         "qf_transcripts_pipeline": sql_qf_transcripts(),
         "text_stats_docs": sql_text_stats(),
+        "token_length_filter": sql_token_length_filter(),
         "docs_fingerprint_summary": SQL_FINGERPRINT_SUMMARY,
+        "math_domain_filter": sql_math_domain_filter(),
         "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_pairs": sql_minhash_pairs(),

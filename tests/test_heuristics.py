@@ -95,3 +95,48 @@ def test_full_wizardlm_list_mode(spark):
     df = spark.createDataFrame([("as an AI I cannot",)], "text string")
     from pyspark.sql import functions as F
     assert df.filter(F.col("text").rlike(phrases.boilerplate_regex(True))).count() == 1
+
+
+# --- math/proof domain filters ---
+
+def test_math_filter_reference_parity(spark):
+    """Pin the exact filter_problems / filter_out_proofs semantics
+    (math/filter.py:4-18, MultipleSamples/utils.py:295-301)."""
+    from open_thoughts_spark.rules.math_rules import (
+        filter_math_problems,
+        filter_out_proofs,
+        with_math_decision,
+    )
+
+    rows = [
+        (0, "Find x such that x+1=2", "so \\boxed{1}"),          # keep
+        (1, "See the FIGURE for details", "\\boxed{2}"),          # figure
+        (2, "a) first part b) second part", "\\boxed{3}"),        # multipart
+        (3, "A) not multipart b) because A) uppercase? no", "\\boxed{4}"),  # a) ci
+        (4, "fine problem", None),                                 # missing
+        (5, "fine problem", ""),                                   # missing
+        (6, "fine problem", "QED \\boxed{}"),                      # proof qed
+        (7, "fine problem", "no box here"),                        # no boxed
+        (8, "Prove that 1=1", "\\boxed{1}"),                       # proof marker
+        (9, "show  that", "\\boxed{1}"),                           # 'show ' hits
+        (10, "the proofreader", "\\boxed{1}"),                     # 'proof' substring hits
+        (11, "the answer: is given", "\\boxed{1}"),                # answer: keyword
+    ]
+    df = spark.createDataFrame(rows, "id long, problem string, solution string")
+
+    kept = sorted(r["id"] for r in filter_math_problems(df).collect())
+    # reference filter_problems drops 1,2,4,5,6,7,11 and — because it
+    # lowercases before startswith — the uppercase 'A)' row 3 as well
+    assert kept == [0, 8, 9, 10]
+
+    nonproof = sorted(r["id"] for r in filter_out_proofs(df).collect())
+    assert 8 not in nonproof and 9 not in nonproof and 10 not in nonproof
+    assert 0 in nonproof
+
+    dec = {r["id"]: r["math_drop_reason"] for r in with_math_decision(df).collect()}
+    assert dec[0] is None
+    assert dec[1] == "figure_keyword"
+    assert dec[2] == "multipart"
+    assert dec[6] == "proof_qed"
+    assert dec[7] == "no_boxed"
+    assert dec[8] == "proof_problem"

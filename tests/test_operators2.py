@@ -189,3 +189,49 @@ def test_conversation_state_stream(spark, transcripts_path, tmp_path):
     )
     j = got.join(batch, on="conv_id")
     assert j.filter(F.col("turns_seen") != F.col("count")).count() == 0
+
+
+# --- mini-BPE exact tokenizer ---
+
+def test_bpe_python_duckdb_parity():
+    import duckdb
+
+    from open_thoughts_spark.functions.bpe import bpe_count_sql, bpe_token_count
+
+    tests = [
+        "", "  ", None, "The THE the and AND", "ththththe", "a a a",
+        "ïéCJK一二三 and", "xxxxx", "the quick brown fox",
+        "thand ing_ st th e", "thth the theand", "ed es ing the and",
+        "punctuation, splits! words?  and\ttabs\nnewlines",
+    ]
+    con = duckdb.connect()
+    con.execute("create table t(s varchar)")
+    con.executemany("insert into t values (?)", [(x,) for x in tests])
+    rows = con.sql(f"select s, {bpe_count_sql('s')} from t").fetchall()
+    for s, d in rows:
+        # SQL lower(NULL) propagates NULL -> CASE sees NULL != '' is NULL ->
+        # count NULL; python kernel treats None as ''
+        if s is None:
+            continue
+        assert bpe_token_count(s) == d, s
+
+
+def test_bpe_merge_order_and_filter(spark):
+    from open_thoughts_spark.functions.bpe import (
+        bpe_tokens,
+        filter_min_tokens,
+        with_bpe_token_count,
+    )
+
+    # 'the' assembles via (t,h) then (th,e); the first occurrence then
+    # absorbs its boundary via (the,_) — ranked single-pass semantics
+    assert bpe_tokens("the the") == ["the_", "the"]
+    assert bpe_tokens("") == []
+
+    df = spark.createDataFrame(
+        [(1, "the and is"), (2, "word " * 200)], "id int, text string"
+    )
+    counted = {r["id"]: r["bpe_count"] for r in with_bpe_token_count(df).collect()}
+    assert counted[2] > counted[1]
+    kept = filter_min_tokens(df, min_tokens=counted[1] + 1)
+    assert [r["id"] for r in kept.collect()] == [2]
