@@ -1301,6 +1301,19 @@ SQL_CLASSIFIER_FILTER = f"""
 """
 
 
+def q_rouge_seed_filter(spark, sf_dir):
+    """ROUGE-L seed-pool novelty filter (Alpaca utils.py:289-309): drop docs
+    too similar to the first-5-doc 'seed pool'. LCS is not SQL-expressible
+    at reasonable cost — rows-only driver check; exactness is pinned by the
+    brute-force-LCS parity unit test."""
+    from open_thoughts_spark.operators.rouge import with_max_rouge
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = [r["text"] for r in docs.filter(F.col("doc_id") < 5).collect()]
+    pool = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 100))
+    return with_max_rouge(pool, seeds).select("doc_id", "max_rouge_l")
+
+
 def q_part_supplier_revenue(spark, sf_dir):
     """Part-brand revenue with supplier dimension (covers part + supplier)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1511,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_bandblock": q_simhash_bandblock,
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
+        "rouge_seed_filter": q_rouge_seed_filter,
         "part_supplier_revenue": q_part_supplier_revenue,
         "events_json_extract": q_events_json_extract,
         "customers_intersect_years": q_customers_intersect_years,

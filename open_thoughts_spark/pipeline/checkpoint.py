@@ -42,6 +42,26 @@ def stage_hash(name: str, config: dict, upstream: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:20]
 
 
+def semantics_digest(*parts) -> str:
+    """Content-addressed stage fingerprint: sha256 over the source text of
+    any modules passed plus the stable-JSON of any other values (threshold
+    dicts, rule orders, regex tables). Folding this into ``Stage.config``
+    means editing rule code or a governing constant invalidates the chain
+    automatically — the reference hashes function source transitively
+    (hashing_utils.py:188-262); hand-bumped 'v1' strings silently resumed
+    stale snapshots (ADVICE r1)."""
+    import inspect
+    import types
+
+    h = hashlib.sha256()
+    for p in parts:
+        if isinstance(p, types.ModuleType):
+            h.update(inspect.getsource(p).encode())
+        else:
+            h.update(_stable_json(p).encode())
+    return h.hexdigest()[:16]
+
+
 @dataclass
 class Stage:
     name: str

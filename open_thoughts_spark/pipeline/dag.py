@@ -1,0 +1,257 @@
+"""Declarative pipeline config → operator DAG — the reference's defining UX.
+
+Reference: YAML configs name operators with ``id`` + typed ``config``;
+``input_ids`` default to the previous operator, ``output_ids`` default to
+the last (engine/operators/operator.py:243-254, engine/dag.py:55-109,
+validation behaviors pinned by engine/tests/test_parse.py:10-138). Here the
+same contract parses to a stage DAG over Spark DataFrames; operator types
+resolve through ``OPERATOR_REGISTRY`` (each entry builds
+``(spark, config, inputs: list[DataFrame]) -> DataFrame``).
+
+``run_dag`` executes topologically. Spark keeps everything lazy, so the
+"DAG" costs nothing until an output is acted on; for durable stage caching
+compose with pipeline/checkpoint.CheckpointedPipeline.
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class OpSpec:
+    id: str
+    config: dict
+    input_ids: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PipelineDAG:
+    name: str
+    operators: list[OpSpec]
+    output_ids: list[str]
+
+
+class DAGParseError(ValueError):
+    pass
+
+
+def parse_dag(config: dict) -> PipelineDAG:
+    """Validate + normalize a dict (or YAML-loaded) pipeline config.
+
+    Reference-parity defaults: first operator gets no inputs; every later
+    operator without explicit ``input_ids`` chains from the previous one;
+    ``output_ids`` defaults to the final operator. Errors: missing/dup ids,
+    unknown input references, unknown operator type, cycles.
+    """
+    if "name" not in config or "operators" not in config:
+        raise DAGParseError("config requires 'name' and 'operators'")
+    ops: list[OpSpec] = []
+    seen: set[str] = set()
+    prev: str | None = None
+    for entry in config["operators"]:
+        oid = entry.get("id")
+        if not oid:
+            raise DAGParseError("every operator needs an 'id'")
+        if oid in seen:
+            raise DAGParseError(f"duplicate operator id: {oid}")
+        seen.add(oid)
+        cfg = entry.get("config") or {}
+        if "type" not in cfg:
+            raise DAGParseError(f"operator {oid}: config requires 'type'")
+        if cfg["type"] not in OPERATOR_REGISTRY:
+            raise DAGParseError(
+                f"operator {oid}: unknown operator type: {cfg['type']}"
+            )
+        if "input_ids" in entry:
+            input_ids = list(entry["input_ids"])
+        else:
+            input_ids = [prev] if prev is not None else []
+        ops.append(OpSpec(id=oid, config=cfg, input_ids=input_ids))
+        prev = oid
+    for op in ops:
+        for ref in op.input_ids:
+            if ref not in seen:
+                raise DAGParseError(
+                    f"operator {op.id}: unknown input id: {ref}"
+                )
+    output_ids = list(config.get("output_ids") or ([ops[-1].id] if ops else []))
+    for ref in output_ids:
+        if ref not in seen:
+            raise DAGParseError(f"unknown output id: {ref}")
+    _toposort(ops)  # raises on cycles
+    return PipelineDAG(name=config["name"], operators=ops, output_ids=output_ids)
+
+
+def _toposort(ops: list[OpSpec]) -> list[OpSpec]:
+    order: list[OpSpec] = []
+    done: set[str] = set()
+    visiting: set[str] = set()
+    by_id = {o.id: o for o in ops}
+
+    def visit(o: OpSpec) -> None:
+        if o.id in done:
+            return
+        if o.id in visiting:
+            raise DAGParseError(f"cycle involving operator: {o.id}")
+        visiting.add(o.id)
+        for ref in o.input_ids:
+            visit(by_id[ref])
+        visiting.discard(o.id)
+        done.add(o.id)
+        order.append(o)
+
+    for o in ops:
+        visit(o)
+    return order
+
+
+def parse_yaml_config(path: str) -> dict:
+    """YAML file → dict (operator.py:243-254). PyYAML is optional in this
+    environment; a YAML-subset fallback is NOT attempted — use dict configs
+    if the import fails."""
+    import yaml  # gated: baked into the pyspark image via its deps
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def run_dag(
+    spark: SparkSession, dag: PipelineDAG, base_path: str | None = None
+) -> dict[str, DataFrame]:
+    """Execute and return {output_id: DataFrame}. ``base_path`` resolves
+    relative source paths."""
+    results: dict[str, DataFrame] = {}
+    for op in _toposort(dag.operators):
+        inputs = [results[i] for i in op.input_ids]
+        builder = OPERATOR_REGISTRY[op.config["type"]]
+        results[op.id] = builder(spark, {**op.config, "_base": base_path}, inputs)
+    return {oid: results[oid] for oid in dag.output_ids}
+
+
+# --- operator registry (type string → builder) ---
+
+def _one(inputs: list[DataFrame], typ: str) -> DataFrame:
+    if len(inputs) != 1:
+        raise DAGParseError(f"{typ} expects exactly one input")
+    return inputs[0]
+
+
+def _op_parquet_source(spark, cfg, inputs):
+    path = cfg["path"]
+    if cfg.get("_base") and not path.startswith("/"):
+        path = f"{cfg['_base']}/{path}"
+    return spark.read.parquet(path)
+
+
+def _op_function(spark, cfg, inputs):
+    """Dotted-path python function over the input DataFrame(s) — the
+    reference 'function' operator (function_operator shape)."""
+    mod, _, fn_name = cfg["function"].rpartition(".")
+    fn: Callable[..., Any] = getattr(importlib.import_module(mod), fn_name)
+    kwargs = cfg.get("kwargs") or {}
+    if cfg.get("multi_input"):
+        return fn(*inputs, **kwargs)
+    return fn(_one(inputs, "function"), **kwargs)
+
+
+def _op_filter(spark, cfg, inputs):
+    return _one(inputs, "filter").filter(cfg["condition"])
+
+
+def _op_select(spark, cfg, inputs):
+    return _one(inputs, "select").select(*cfg["columns"])
+
+
+def _op_quality_filter(spark, cfg, inputs):
+    from open_thoughts_spark.pipeline import quality_filter
+
+    kwargs = {k: v for k, v in cfg.items() if k not in ("type", "_base")}
+    return quality_filter(_one(inputs, "quality_filter"), **kwargs)
+
+
+def _op_mix(spark, cfg, inputs):
+    from open_thoughts_spark.operators.relational import mix
+
+    if len(inputs) < 2:
+        raise DAGParseError("mix expects >= 2 inputs")
+    return mix(inputs, key_cols=cfg["key_cols"], shard_ids=cfg.get("shard_ids"))
+
+
+def _op_merge(spark, cfg, inputs):
+    from open_thoughts_spark.operators.relational import merge_left_enrich
+
+    if len(inputs) != 2:
+        raise DAGParseError("merge expects exactly 2 inputs")
+    return merge_left_enrich(inputs[0], inputs[1], cfg["on"])
+
+
+def _op_dedup_exact(spark, cfg, inputs):
+    from open_thoughts_spark.operators.dedup import exact_dedup_normalized
+
+    return exact_dedup_normalized(
+        _one(inputs, "dedup_exact"), cfg["id_col"], cfg["text_col"]
+    )
+
+
+def _op_minhash_dedup(spark, cfg, inputs):
+    from open_thoughts_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _one(inputs, "minhash_dedup"),
+        cfg["id_col"],
+        cfg["text_col"],
+        min_jaccard=cfg.get("min_jaccard", 0.8),
+        transitive=cfg.get("transitive", True),
+    )
+
+
+def _op_truncate(spark, cfg, inputs):
+    from open_thoughts_spark.operators.relational import truncate
+
+    return truncate(_one(inputs, "truncate"), cfg["n"])
+
+
+def _op_completions_map(spark, cfg, inputs):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    name = cfg["map"]
+    if name not in MAPS:
+        raise DAGParseError(f"unknown completions map: {name}")
+    return apply_map(_one(inputs, "completions_map"), MAPS[name])
+
+
+def _op_scrub(spark, cfg, inputs):
+    from open_thoughts_spark.rules.scrub import with_scrubbed_text
+
+    return with_scrubbed_text(
+        _one(inputs, "scrub"), text_col=cfg.get("text_col", "text")
+    )
+
+
+def _op_add_constant(spark, cfg, inputs):
+    return _one(inputs, "add_constant").withColumn(
+        cfg["column"], F.lit(cfg["value"])
+    )
+
+
+OPERATOR_REGISTRY: dict[str, Callable] = {
+    "parquet_source": _op_parquet_source,
+    "function": _op_function,
+    "filter": _op_filter,
+    "select": _op_select,
+    "quality_filter": _op_quality_filter,
+    "mix": _op_mix,
+    "merge": _op_merge,
+    "dedup_exact": _op_dedup_exact,
+    "minhash_dedup": _op_minhash_dedup,
+    "truncate": _op_truncate,
+    "completions_map": _op_completions_map,
+    "scrub": _op_scrub,
+    "add_constant": _op_add_constant,
+}

@@ -117,10 +117,39 @@ def checkpointed_stages(langid_mode: str = "native") -> list:
         out = out.withColumn("turn_rank", F.row_number().over(w))
         return out.select(*RESULT_COLUMNS, "turn_rank")
 
+    # content-addressed configs: any edit to the rule/scoring modules or
+    # their governing constants changes the digest and invalidates the
+    # checkpoint chain (no hand-bumped version strings — ADVICE r1)
+    from open_thoughts_spark import config as _cfg
+    from open_thoughts_spark.functions import langid as _langid
+    from open_thoughts_spark.functions import perplexity as _ppl
+    from open_thoughts_spark.pipeline.checkpoint import semantics_digest
+    from open_thoughts_spark.rules import heuristics as _heur
+    from open_thoughts_spark.rules import phrases as _phr
+    from open_thoughts_spark.rules import scrub as _scrub
+
+    cfg_state = {
+        k: v for k, v in vars(_cfg).items() if k.isupper() and not k.startswith("_")
+    }
     return [
-        Stage("score", _score, {"langid_mode": langid_mode, "model": "marker-v1+tri64-v1"}),
-        Stage("decide", _decide, {"ruleset": "v1"}),
-        Stage("finalize", _finalize, {"scrub": "v1"}),
+        Stage(
+            "score",
+            _score,
+            {
+                "langid_mode": langid_mode,
+                "model": semantics_digest(_langid, _ppl, cfg_state),
+            },
+        ),
+        Stage(
+            "decide",
+            _decide,
+            {
+                "ruleset": semantics_digest(
+                    _heur, _phr, cfg_state, _phr.boilerplate_regex()
+                )
+            },
+        ),
+        Stage("finalize", _finalize, {"scrub": semantics_digest(_scrub)}),
     ]
 
 

@@ -90,3 +90,28 @@ def test_config_change_invalidates(spark, tmp_path):
     assert "s1c" in calls
     assert out3.agg(F.max("v")).collect()[0][0] == 99 * 2 * 5
     assert out.agg(F.max("v")).collect()[0][0] == 99 * 2 * 3
+
+
+def test_stage_configs_are_content_addressed(monkeypatch):
+    """ADVICE r1: editing a governing constant must invalidate the stage
+    hash chain without any hand-bumped version string."""
+    from open_thoughts_spark import config
+    from open_thoughts_spark.pipeline.quality_filter import checkpointed_stages
+
+    before = {s.name: s.config for s in checkpointed_stages()}
+    monkeypatch.setattr(config, "TOO_SHORT_WORDS", config.TOO_SHORT_WORDS + 1)
+    after = {s.name: s.config for s in checkpointed_stages()}
+    assert before["decide"] != after["decide"]
+    assert before["score"] != after["score"]  # thresholds feed scoring too
+    # unrelated stage (scrub has no config dependence) stays stable
+    assert before["finalize"] == after["finalize"]
+
+
+def test_semantics_digest_covers_module_source():
+    from open_thoughts_spark.pipeline.checkpoint import semantics_digest
+    from open_thoughts_spark.rules import scrub
+
+    d1 = semantics_digest(scrub)
+    d2 = semantics_digest(scrub, {"extra": 1})
+    assert d1 != d2
+    assert d1 == semantics_digest(scrub)  # deterministic

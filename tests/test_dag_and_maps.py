@@ -1,0 +1,164 @@
+"""Declarative pipeline config parsing/validation + completions maps.
+
+Parse behaviors mirror the reference's engine/tests/test_parse.py:10-138
+(default input chaining, explicit inputs/outputs, mixed) plus the error
+paths (dup id, unknown ref, unknown type, cycle); one YAML-defined pipeline
+runs end to end through quality_filter + scrub + a completions map.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.pipeline.dag import (
+    DAGParseError,
+    parse_dag,
+    parse_yaml_config,
+    run_dag,
+)
+
+
+def _op(oid, typ="filter", **extra):
+    cfg = {"type": typ, **extra}
+    if typ == "filter":
+        cfg.setdefault("condition", "1=1")
+    return {"id": oid, "config": cfg}
+
+
+def test_parse_dag_with_defaults():
+    dag = parse_dag(
+        {
+            "name": "t",
+            "operators": [
+                _op("op1", "parquet_source", path="x"),
+                _op("op2"),
+                _op("op3"),
+            ],
+        }
+    )
+    assert dag.name == "t"
+    assert [o.input_ids for o in dag.operators] == [[], ["op1"], ["op2"]]
+    assert dag.output_ids == ["op3"]
+
+
+def test_parse_dag_explicit_and_mixed():
+    dag = parse_dag(
+        {
+            "name": "t",
+            "operators": [
+                _op("op1", "parquet_source", path="x"),
+                {"id": "op2", "input_ids": ["op1"], "config": {"type": "filter", "condition": "1=1"}},
+                {"id": "op3", "input_ids": ["op1", "op2"], "config": {"type": "merge", "on": "k"}},
+            ],
+            "output_ids": ["op2", "op3"],
+        }
+    )
+    assert dag.operators[2].input_ids == ["op1", "op2"]
+    assert dag.output_ids == ["op2", "op3"]
+
+
+@pytest.mark.parametrize(
+    "mutation, msg",
+    [
+        (lambda c: c["operators"].append(_op("op1")), "duplicate"),
+        (lambda c: c["operators"][1].update(input_ids=["nope"]), "unknown input"),
+        (lambda c: c["operators"][1]["config"].update(type="wat"), "unknown operator type"),
+        (lambda c: c.pop("name"), "requires"),
+        (
+            lambda c: (
+                c["operators"][0].update(input_ids=["op2"]),
+                c["operators"][1].update(input_ids=["op1"]),
+            ),
+            "cycle",
+        ),
+    ],
+)
+def test_parse_dag_validation_errors(mutation, msg):
+    config = {
+        "name": "t",
+        "operators": [_op("op1", "parquet_source", path="x"), _op("op2")],
+    }
+    mutation(config)
+    with pytest.raises(DAGParseError, match=msg):
+        parse_dag(config)
+
+
+def test_yaml_pipeline_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox email a@b.co", "user"),
+            (2, "As an AI language model I cannot", "assistant"),
+            (3, "der die das und ist nicht ein", "assistant"),
+        ],
+        "doc_id int, text string, role string",
+    ).write.parquet(src)
+    yml = tmp_path / "pipe.yaml"
+    yml.write_text(
+        f"""
+name: qf_pipeline
+operators:
+  - id: load
+    config: {{type: parquet_source, path: "{src}"}}
+  - id: qf
+    config: {{type: quality_filter, with_turn_order: false}}
+  - id: kept
+    config: {{type: filter, condition: "keep"}}
+  - id: scrubbed
+    config: {{type: scrub}}
+""",
+    )
+    dag = parse_dag(parse_yaml_config(str(yml)))
+    out = run_dag(spark, dag)["scrubbed"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in rows  # boilerplate dropped by the quality filter
+    assert "<EMAIL>" in rows[1]["scrubbed_text"]
+
+
+def test_completions_maps_shapes(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    df = spark.createDataFrame(
+        [
+            ("what is 2+2", "4", "the answer is 4"),
+            ("capital of france", "Paris", "London"),
+        ],
+        "instruction string, golden_answer string, attempt string",
+    )
+    judged = {r["instruction"]: r for r in apply_map(df, MAPS["judge"]).collect()}
+    assert judged["what is 2+2"]["model_judgement"] is True
+    assert judged["capital of france"]["model_judgement"] is False
+    assert judged["what is 2+2"]["model_judgement_full"].endswith("yes")
+
+    probs = spark.createDataFrame(
+        [("solve x+1=2",), ("prove fermat",)], "problem string"
+    )
+    graded = apply_map(probs, MAPS["sky_t1_math_difficulty"]).collect()
+    assert all(1 <= r["difficulty"] <= 10 for r in graded)
+    # deterministic across runs/partitions
+    graded2 = apply_map(probs.repartition(3), MAPS["sky_t1_math_difficulty"]).collect()
+    assert {(r["problem"], r["difficulty"]) for r in graded} == {
+        (r["problem"], r["difficulty"]) for r in graded2
+    }
+
+    answers = spark.createDataFrame(
+        [("first 145 then 293 so total is 438",), ("no numbers here",)],
+        "detailed_answer string",
+    )
+    ex = {r["detailed_answer"]: r["numerical_answer"]
+          for r in apply_map(answers, MAPS["extract_math_answer"]).collect()}
+    assert ex["first 145 then 293 so total is 438"] == "438"
+    assert ex["no numbers here"] == ""
+
+    reasoned = apply_map(probs, MAPS["reason_annotate"]).collect()
+    assert all(r["reasoning"].startswith("trace [") for r in reasoned)
+    assert all(r["solution"].startswith("answer-") for r in reasoned)
+
+
+def test_apply_map_missing_column_errors(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    df = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="missing input columns"):
+        apply_map(df, MAPS["judge"])

@@ -235,3 +235,59 @@ def test_bpe_merge_order_and_filter(spark):
     assert counted[2] > counted[1]
     kept = filter_min_tokens(df, min_tokens=counted[1] + 1)
     assert [r["id"] for r in kept.collect()] == [2]
+
+
+# --- ROUGE-L seed-pool filter ---
+
+def _lcs_bruteforce(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+def test_lcs_vectorized_matches_bruteforce():
+    import random
+
+    import numpy as np
+
+    from open_thoughts_spark.operators.rouge import lcs_length
+
+    rng = random.Random(13)
+    for _ in range(60):
+        a = [rng.randrange(6) for _ in range(rng.randrange(12))]
+        b = [rng.randrange(6) for _ in range(rng.randrange(12))]
+        assert lcs_length(np.array(a), np.array(b)) == _lcs_bruteforce(a, b), (a, b)
+
+
+def test_rouge_l_known_values():
+    from open_thoughts_spark.operators.rouge import rouge_l_f1, rouge_tokens
+
+    a = rouge_tokens("Write a story about a dog")
+    assert rouge_l_f1(a, a) == 1.0
+    assert rouge_l_f1(a, rouge_tokens("completely different words here")) == 0.0
+    # lcs('a b c d', 'a x c') = 2 (a, c); f1 = 2*2/(4+3)
+    got = rouge_l_f1(rouge_tokens("a b c d"), rouge_tokens("a x c"))
+    assert abs(got - 4 / 7) < 1e-12
+    assert rouge_l_f1([], a) == 0.0
+
+
+def test_rouge_seed_filter_drops_near_copies(spark):
+    from open_thoughts_spark.operators.rouge import rouge_seed_filter, with_max_rouge
+
+    seeds = ["write a poem about the sea", "list three facts about rome"]
+    rows = [
+        (1, "write a poem about the sea today"),   # near-copy of seed 1
+        (2, "explain how tides work in detail"),   # novel
+        (3, "list three facts about rome"),        # exact copy of seed 2
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    scored = {r["id"]: r["max_rouge_l"] for r in with_max_rouge(df, seeds).collect()}
+    assert scored[3] == 1.0 and scored[1] > 0.7 and scored[2] < 0.3
+    kept = sorted(r["id"] for r in rouge_seed_filter(df, seeds, max_similarity=0.7).collect())
+    assert kept == [2]
