@@ -1301,6 +1301,25 @@ SQL_CLASSIFIER_FILTER = f"""
 """
 
 
+def q_tree_search_beam(spark, sf_dir):
+    """Beam-search scaffold (tree_search_operator.py:22-120) over prompts
+    derived from documents; deterministic mock expander. Driver-loop
+    iterative — rows-only check (unit tests pin width/depth/budget/paths)."""
+    from open_thoughts_spark.operators.tree_search import (
+        BeamSearchConfig,
+        beam_search,
+        mock_expand,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    prompts = docs.select(
+        F.col("doc_id").alias("prompt_id"),
+        F.substring("text", 1, 60).alias("instruction"),
+    )
+    cfg = BeamSearchConfig(beam_width=3, beam_depth=3)
+    return beam_search(prompts, mock_expand(3), cfg)
+
+
 def q_rouge_seed_filter(spark, sf_dir):
     """ROUGE-L seed-pool novelty filter (Alpaca utils.py:289-309): drop docs
     too similar to the first-5-doc 'seed pool'. LCS is not SQL-expressible
@@ -1525,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
         "rouge_seed_filter": q_rouge_seed_filter,
+        "tree_search_beam": q_tree_search_beam,
         "part_supplier_revenue": q_part_supplier_revenue,
         "events_json_extract": q_events_json_extract,
         "customers_intersect_years": q_customers_intersect_years,

@@ -1,0 +1,144 @@
+"""Beam / tree search scaffold — the tree_search operator, Spark-native.
+
+Reference: per-prompt tree search driving LLM expansion through Ray tasks,
+with ``get_initial_state`` / ``get_successors`` / ``is_terminal`` hooks and
+``node_budget`` / ``beam_width`` / ``beam_depth`` limits
+(/root/reference/open_thoughts_3/engine/operators/tree_search_operator.py:
+22-120). The reference explores one prompt's tree per task; the Spark
+re-expression keeps ONE frontier DataFrame holding every prompt's beam and
+advances all searches in lockstep rounds:
+
+    frontier(round r) --expand (mapInPandas, batched hook)--> successors
+      --prune (two-phase top-k per prompt by score)--> frontier(round r+1)
+
+so each round is one narrow map + one bounded shuffle regardless of how
+many prompts are searched — the 100 TB shape for search-based data
+generation. Terminals accumulate per round; ``node_budget`` bounds total
+expansions per prompt. The expansion hook is pluggable (an LLM backend in
+production, a deterministic mock here — same posture as the completions
+operator).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.operators.similarity import topk_per_group
+
+# expand hook contract: given a chunk with (prompt_id, prompt, path, level),
+# return successor rows (prompt_id, prompt, path, level, reasoning_step,
+# score, is_terminal) — path already extended with reasoning_step.
+ExpandFn = Callable[[pd.DataFrame], pd.DataFrame]
+
+_FRONTIER_SCHEMA = (
+    "`prompt_id` long, `prompt` string, `path` string, `level` int, "
+    "`score` double, `is_terminal` boolean"
+)
+
+
+@dataclass
+class BeamSearchConfig:
+    beam_width: int = 4
+    beam_depth: int = 5
+    node_budget: int | None = None  # max expanded nodes per prompt
+
+
+def mock_expand(branch_factor: int = 3) -> ExpandFn:
+    """Deterministic expansion hook (no LLM in this environment): each node
+    fans out to ``branch_factor`` md5-derived reasoning steps; a step is
+    terminal when its digest ends in a small hex digit; score is derived
+    from the digest so pruning has a real signal. Deterministic across
+    partitionings — the MOCK_VERIFY posture."""
+
+    def expand(chunk: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in chunk.iterrows():
+            for b in range(branch_factor):
+                h = hashlib.md5(f"{r['prompt']}|{r['path']}|{b}".encode()).hexdigest()
+                step = f"step-{h[:6]}"
+                rows.append(
+                    {
+                        "prompt_id": r["prompt_id"],
+                        "prompt": r["prompt"],
+                        "path": (r["path"] + " -> " + step) if r["path"] else step,
+                        "level": r["level"] + 1,
+                        "score": int(h[:8], 16) / 0xFFFFFFFF,
+                        "is_terminal": h[-1] in "012",
+                    }
+                )
+        cols = ["prompt_id", "prompt", "path", "level", "score", "is_terminal"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return expand
+
+
+def beam_search(
+    prompts: DataFrame,
+    expand: ExpandFn,
+    config: BeamSearchConfig = BeamSearchConfig(),
+    prompt_col: str = "instruction",
+    id_col: str = "prompt_id",
+) -> DataFrame:
+    """Run the search for every prompt row; returns the accumulated terminal
+    nodes (prompt_id, prompt, path, level, score) plus, for prompts that
+    never terminated, their final-frontier best nodes.
+
+    Driver loop depth = beam_depth (a handful of rounds); everything inside
+    a round is distributed. Frontiers are localCheckpoint'd so lineage
+    doesn't grow with depth.
+    """
+    spark = prompts.sparkSession
+    frontier = prompts.select(
+        F.col(id_col).cast("long").alias("prompt_id"),
+        F.col(prompt_col).alias("prompt"),
+        F.lit("").alias("path"),
+        F.lit(0).cast("int").alias("level"),
+        F.lit(0.0).alias("score"),
+        F.lit(False).alias("is_terminal"),
+    ).localCheckpoint(eager=True)
+    terminals: DataFrame | None = None
+    expanded_per_prompt: dict[int, int] = {}
+
+    def _expand_runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield expand(pdf)
+
+    for _ in range(config.beam_depth):
+        live = frontier.filter(~F.col("is_terminal"))
+        if config.node_budget is not None:
+            over = [
+                pid for pid, n in expanded_per_prompt.items()
+                if n >= config.node_budget
+            ]
+            if over:
+                live = live.filter(~F.col("prompt_id").isin(over))
+        successors = live.select(
+            "prompt_id", "prompt", "path", "level"
+        ).mapInPandas(_expand_runner, schema=_FRONTIER_SCHEMA)
+        pruned = topk_per_group(
+            successors, ["prompt_id"], [F.desc("score"), F.asc("path")],
+            config.beam_width,
+        ).drop("rank").localCheckpoint(eager=True)
+        if pruned.isEmpty():
+            break
+        if config.node_budget is not None:
+            for r in pruned.groupBy("prompt_id").count().collect():
+                expanded_per_prompt[r["prompt_id"]] = (
+                    expanded_per_prompt.get(r["prompt_id"], 0) + r["count"]
+                )
+        new_terminals = pruned.filter(F.col("is_terminal"))
+        terminals = (
+            new_terminals if terminals is None
+            else terminals.unionByName(new_terminals)
+        )
+        frontier = pruned
+    leftovers = frontier.filter(~F.col("is_terminal"))
+    out = leftovers if terminals is None else terminals.unionByName(leftovers)
+    return out.select("prompt_id", "prompt", "path", "level", "score", "is_terminal")

@@ -162,3 +162,59 @@ def test_apply_map_missing_column_errors(spark):
     df = spark.createDataFrame([("x",)], "other string")
     with pytest.raises(ValueError, match="missing input columns"):
         apply_map(df, MAPS["judge"])
+
+
+# --- tree search scaffold ---
+
+def test_beam_search_respects_width_depth_and_paths(spark):
+    from open_thoughts_spark.operators.tree_search import (
+        BeamSearchConfig,
+        beam_search,
+        mock_expand,
+    )
+
+    prompts = spark.createDataFrame(
+        [(1, "solve task one"), (2, "solve task two")],
+        "prompt_id long, instruction string",
+    )
+    cfg = BeamSearchConfig(beam_width=3, beam_depth=4)
+    out = beam_search(prompts, mock_expand(branch_factor=3), cfg).collect()
+    assert out, "search produced nodes"
+    by_prompt = {}
+    for r in out:
+        by_prompt.setdefault(r["prompt_id"], []).append(r)
+        assert 1 <= r["level"] <= 4
+        assert len(r["path"].split(" -> ")) == r["level"]  # path mirrors depth
+        assert r["path"].startswith("step-")
+    assert set(by_prompt) == {1, 2}  # all prompts searched in lockstep
+    # per round, at most beam_width survivors per prompt -> per level too
+    for pid, rows in by_prompt.items():
+        per_level = {}
+        for r in rows:
+            per_level[r["level"]] = per_level.get(r["level"], 0) + 1
+        assert all(v <= 3 for v in per_level.values()), per_level
+
+    # determinism across partitionings
+    out2 = beam_search(prompts.repartition(5), mock_expand(3), cfg).collect()
+    assert {(r["prompt_id"], r["path"]) for r in out} == {
+        (r["prompt_id"], r["path"]) for r in out2
+    }
+
+
+def test_beam_search_node_budget_stops_expansion(spark):
+    from open_thoughts_spark.operators.tree_search import (
+        BeamSearchConfig,
+        beam_search,
+        mock_expand,
+    )
+
+    prompts = spark.createDataFrame(
+        [(1, "budgeted task")], "prompt_id long, instruction string"
+    )
+    cheap = beam_search(
+        prompts, mock_expand(4), BeamSearchConfig(beam_width=4, beam_depth=6, node_budget=4)
+    ).collect()
+    rich = beam_search(
+        prompts, mock_expand(4), BeamSearchConfig(beam_width=4, beam_depth=6)
+    ).collect()
+    assert max(r["level"] for r in cheap) < max(r["level"] for r in rich)
