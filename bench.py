@@ -55,6 +55,12 @@ HEADLINE = [
     "decontaminate_ngram",
     "knn_bruteforce_top5",
     "embedding_neardup_pairs",
+    # round-2 additions: exact-tokenizer counting, trained-model filter,
+    # band-blocked simhash pairs, LSH ANN — the model-side perf surface
+    "token_length_filter",
+    "classifier_lang_filter",
+    "dedup_simhash_bandblock",
+    "ann_lsh_top5",
 ]
 
 
@@ -232,7 +238,9 @@ def run_scaling(n_convs: int, repeats: int = 2) -> dict:
 
 def main() -> int:
     queries, total = run_headline_queries()
-    scaling = run_scaling(BENCH_CONVS, repeats=2)
+    # 3 interleaved pairs: the best-window estimator needs one clean weather
+    # window; with the observed ±40% host phases, 2 pairs miss it too often
+    scaling = run_scaling(BENCH_CONVS, repeats=3)
     out = {
         "metric": "headline query wall-clock at sf + quality-filter scaling N->4N",
         "value": total,
