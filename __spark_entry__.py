@@ -951,6 +951,60 @@ SQL_ANN_LSH = """
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate NN (coarse-quantizer cells from md5-derived integer
+    centroids, 4-probe) — the second ANN scale path beside LSH; fully
+    DuckDB-oracled via the same exact-integer assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id", "rank")
+
+
+SQL_ANN_IVF = """
+    with v as (
+      select vec_id, embedding::double[] as e,
+        list_transform(embedding::double[],
+                       x -> cast(trunc(x * 1000000) as bigint)) as q
+      from embeddings
+    ), w as (
+      select k, i,
+        ('0x' || substr(md5('c' || k::varchar || '|' || i::varchar), 1, 8))::bigint
+          % 16 - 8 as wt
+      from range(16) t(k), range(64) d(i)
+    ), sc as (
+      select vec_id, k, sum(q[i + 1] * wt) as s
+      from v, w group by 1, 2
+    ), ranked as (
+      select vec_id, k,
+        row_number() over (partition by vec_id order by s desc, k) as rn
+      from sc
+    ), cells as (
+      select vec_id, k as cell from ranked where rn = 1
+    ), qprobe as (
+      select vec_id, k as cell from ranked where rn <= 4 and vec_id < 10
+    ), cand as (
+      select distinct q.vec_id as query_id, c.vec_id as neighbor_id
+      from qprobe q join cells c on q.cell = c.cell
+      where c.vec_id != q.vec_id
+    ), sims as (
+      select cand.query_id, cand.neighbor_id,
+        round(list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) as sim6
+      from cand join v a on a.vec_id = cand.query_id
+                join v b on b.vec_id = cand.neighbor_id
+    )
+    select query_id, neighbor_id, rank from (
+      select query_id, neighbor_id,
+        row_number() over (partition by query_id
+                           order by sim6 desc, neighbor_id) as rank
+      from sims
+    ) where rank <= 5
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks. Threshold 0.4
     verifies non-zero pairs on the driver fixture (max in-block cosine is
@@ -1529,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_longest_docs": q_topn_longest,
         "knn_bruteforce_top5": q_knn,
         "ann_lsh_top5": q_ann_lsh,
+        "ann_ivf_top5": q_ann_ivf,
         "embedding_neardup_pairs": q_embedding_neardup,
         "domain_frequency_filter": q_domain_frequency,
         "conv_full_text": q_conv_full_text,
@@ -1605,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "k_shortest_per_lang": SQL_K_SHORTEST,
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
         "ann_lsh_top5": SQL_ANN_LSH,
+        "ann_ivf_top5": SQL_ANN_IVF,
         "embed_docs_knn": SQL_EMBED_KNN,
         "classifier_lang_filter": SQL_CLASSIFIER_FILTER,
     }

@@ -111,11 +111,48 @@ def add_row_ids(df: DataFrame, order_by: list[str], out: str = "row_id") -> Data
     """commons.py:824-841 — sequential id; stable because explicitly ordered.
 
     Global ``row_number`` serializes into one partition — fine for the small
-    tables the reference uses it on; for huge tables prefer
-    ``zipWithIndex``-style ``monotonically_increasing_id`` + rank fixup.
-    """
+    tables the reference uses it on; use ``add_row_ids_scalable`` for huge
+    tables (identical ids when ``order_by`` is a total order)."""
     w = Window.orderBy(*order_by)
     return df.withColumn(out, F.row_number().over(w))
+
+
+def add_row_ids_scalable(
+    df: DataFrame,
+    order_by: list[str],
+    out: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequential 1-based ids under a total order WITHOUT a one-task window.
+
+    Range-partition on the order keys (the distributed-sort mechanism:
+    sampled boundaries put partition i strictly before partition i+1), pin
+    the layout with localCheckpoint so partition ids are stable across
+    actions, count rows per partition (tiny collect), then each partition
+    enumerates locally and adds its cumulative offset. Equal to
+    ``add_row_ids`` whenever ``order_by`` is a total order (ties may place
+    differently — same caveat as any distributed row_number)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_by)
+        .localCheckpoint(eager=True)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {r["_pid"]: r["n"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        ranged.withColumn(out, F.row_number().over(w) + offset_expr)
+        .drop("_pid")
+    )
 
 
 # --- sampling (commons.py:583-603; _B2_Dedup/utils.py:5-50) ---

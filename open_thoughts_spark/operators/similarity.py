@@ -277,6 +277,91 @@ def with_lsh_bucket(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def _ivf_centroids(dim: int, n_centroids: int) -> np.ndarray:
+    """md5-derived integer centroid directions in [-8, 7]^dim — same
+    portable construction as the LSH planes (functions/portable_hash.py),
+    namespaced 'c' so centroids and planes never collide."""
+    from open_thoughts_spark.functions.portable_hash import plane_weight
+
+    return np.array(
+        [[plane_weight(f"c{k}", i) for i in range(dim)] for k in range(n_centroids)],
+        dtype=np.int64,
+    )
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Attach the ids of the ``n_probe`` best IVF cells (argmax integer dot
+    against fixed centroid directions; ties break to the lower centroid id).
+    ``n_probe=1`` is the assignment used for the corpus; queries probe
+    several cells (the standard IVF recall/cost dial). One row per probe.
+
+    Exact int64 math over trunc(v*1e6)-quantized vectors → replayable in
+    the DuckDB oracle, like the LSH buckets."""
+    planes_holder: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("array<int>")
+    def _cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            mat = np.stack(batch.to_numpy()).astype(np.float64)
+            dim = mat.shape[1]
+            if dim not in planes_holder:
+                planes_holder[dim] = _ivf_centroids(dim, n_centroids)
+            qv = np.trunc(mat * QUANT).astype(np.int64)
+            scores = qv @ planes_holder[dim].T  # (B, K) exact int64
+            # argsort desc with low-id tie-break: sort on (-score, id)
+            order = np.lexsort(
+                (np.arange(n_centroids)[None, :].repeat(len(qv), 0), -scores),
+                axis=1,
+            )[:, :n_probe]
+            yield pd.Series(list(order.astype(np.int32)))
+
+    return df.withColumn(out_col, F.explode(_cells(F.col(vec_col))))
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single best cell,
+    queries probe their ``n_probe`` best cells, exact cosine inside probed
+    cells, two-phase top-k. Complements ``ann_lsh_topk``: IVF cells adapt
+    to direction (argmax over K centroids) where LSH cuts with fixed
+    hyperplanes — at 10^9 vectors the cell join cost is corpus/K × probes
+    per query."""
+    cb = with_ivf_cells(corpus, vec_col, n_centroids, n_probe=1)
+    qb = with_ivf_cells(queries, vec_col, n_centroids, n_probe=n_probe)
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col("ivf_cell"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("ivf_cell"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
+    sim = (
+        c.join(q, on="ivf_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("_sim6", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
+    )
+    return topk_per_group(
+        sim, ["query_id"], [F.desc("_sim6"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", F.round("_sim6", 4).alias("cosine_r4"))
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

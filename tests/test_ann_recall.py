@@ -83,3 +83,25 @@ def test_greedy_online_filter_order_exact(spark):
 
     with pytest.raises(ValueError, match="at scale"):
         greedy_online_filter(df, "vec_id", "embedding", ["vec_id"], 0.9, max_rows=10)
+
+
+def test_ann_ivf_finds_planted_twins(spark):
+    df = _planted(spark)
+    queries = df.filter(F.col("vec_id") < 40)
+    approx = similarity.ann_ivf_topk(df, queries, k=1, n_centroids=16, n_probe=4)
+    top = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for i in range(40) if top.get(i) == 10000 + i)
+    assert hits / 40 >= 0.8, f"IVF planted-twin recall {hits/40:.2f}"
+
+
+def test_ivf_cells_prune_pair_space(spark):
+    df = _planted(spark)
+    cand = (
+        similarity.with_ivf_cells(df, n_centroids=16, n_probe=1)
+        .groupBy("ivf_cell")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    n = df.count()
+    assert cand < 0.35 * n * n, "IVF cells do not prune the pair space"

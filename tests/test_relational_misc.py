@@ -63,3 +63,17 @@ def test_shard_and_group_by_partition(spark):
         .agg(F.countDistinct("p").alias("nparts"))
     )
     assert spread.filter(F.col("nparts") != 1).count() == 0
+
+
+def test_add_row_ids_scalable_matches_global_window(spark):
+    from open_thoughts_spark.operators import relational
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 5000).alias("k"), F.col("id").alias("v")
+    )
+    a = {r["k"]: r["row_id"]
+         for r in relational.add_row_ids(df, ["k"]).collect()}
+    b = {r["k"]: r["row_id"]
+         for r in relational.add_row_ids_scalable(df, ["k"], num_partitions=8).collect()}
+    assert a == b
+    assert sorted(b.values()) == list(range(1, 5001))  # dense 1..N
