@@ -1355,6 +1355,73 @@ SQL_CLASSIFIER_FILTER = f"""
 """
 
 
+def q_multimodal_featurize(spark, sf_dir):
+    """Multimodal plumbing end to end, value-checked: documents become
+    typed media rows (opaque binary payload + metadata struct), native
+    metadata attach (byte length + digest), video frame-grid explode, and
+    the mapInPandas featurize stage (deterministic fake kernel — codecs
+    absent). Features themselves are checked by shape (n_dims), bytes and
+    digest by value; DuckDB md5(VARCHAR) over the text equals Spark md5
+    over its UTF-8 payload bytes."""
+    from open_thoughts_spark.multimodal import decode_and_featurize, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(kind != "image", ((F.col("doc_id") % 60) * 1000 + 500).cast("int"))
+            .alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    frames = (
+        sample_frames(media, every_ms=1000, id_col="media_id")
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    feats = decode_and_featurize(media, id_col="media_id", deterministic_fake=True)
+    return (
+        media.withColumn("payload_bytes", F.length("payload").cast("long"))
+        .withColumn("payload_md5", F.md5("payload"))
+        .join(frames, on="media_id", how="left")
+        .join(feats.select("media_id", F.size("feature").alias("n_feature_dims")), on="media_id")
+        .select(
+            "media_id", "kind", "payload_bytes", "payload_md5",
+            F.coalesce(F.col("n_frames"), F.lit(0)).cast("long").alias("n_frames"),
+            F.col("n_feature_dims").cast("long"),
+        )
+    )
+
+
+SQL_MULTIMODAL_FEATURIZE = """
+    with m as (
+      select doc_id as media_id,
+        case when doc_id % 3 = 0 then 'image'
+             when doc_id % 3 = 1 then 'audio' else 'video' end as kind,
+        text,
+        case when doc_id % 3 != 0 then (doc_id % 60) * 1000 + 500 end as duration_ms
+      from documents where doc_id < 200
+    )
+    select media_id, kind,
+      cast(octet_length(encode(text)) as bigint) as payload_bytes,
+      md5(text) as payload_md5,
+      cast(case when kind = 'video' then duration_ms // 1000 + 1 else 0 end
+           as bigint) as n_frames,
+      32::bigint as n_feature_dims
+    from m
+"""
+
+
 def q_tree_search_beam(spark, sf_dir):
     """Beam-search scaffold (tree_search_operator.py:22-120) over prompts
     derived from documents; deterministic mock expander. Driver-loop
@@ -1600,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_lang_filter": q_classifier_filter,
         "rouge_seed_filter": q_rouge_seed_filter,
         "tree_search_beam": q_tree_search_beam,
+        "multimodal_featurize": q_multimodal_featurize,
         "part_supplier_revenue": q_part_supplier_revenue,
         "events_json_extract": q_events_json_extract,
         "customers_intersect_years": q_customers_intersect_years,
@@ -1661,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
+        "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
         "embed_docs_knn": SQL_EMBED_KNN,
         "classifier_lang_filter": SQL_CLASSIFIER_FILTER,
     }

@@ -106,7 +106,11 @@ def decode_and_featurize(
 
     Output is narrow on purpose — the binary column dies here.
     """
-    out_schema = f"{id_col} string, {kind_col} string, feature array<float>"
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"{id_col} {dtypes[id_col]}, {kind_col} {dtypes[kind_col]}, "
+        "feature array<float>"
+    )
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
