@@ -418,6 +418,86 @@ def sql_qf_transcripts():
     """
 
 
+def q_qf_metrics(spark, sf_dir):
+    """Drop-reason metrics table (commons.py:425-433 logging as a first-
+    class DataFrame): the cascade over derived transcripts, rolled up per
+    reason with exact integer counts (fraction expressed in ppm so the
+    value hash stays in integer space)."""
+    from open_thoughts_spark.pipeline.metrics import drop_reason_metrics
+
+    tr = derive_transcripts(_t(spark, sf_dir, "documents"))
+    decided = quality_filter(tr, with_turn_order=False, compute_ppl=False)
+    m = drop_reason_metrics(decided)
+    return m.select(
+        "reason", "rows",
+        F.round(F.col("fraction") * 1_000_000).cast("long").alias("ppm"),
+    )
+
+
+def sql_qf_metrics():
+    from open_thoughts_spark.rules.heuristics import RULE_ROLES
+
+    cascade = duck_sql.reason_cascade_sql(
+        "text", role_expr="role", role_gates=RULE_ROLES
+    )
+    return f"""
+        with t as ({DERIVE_TRANSCRIPTS_SQL}),
+        d as (select coalesce({cascade}, 'kept') as reason from t)
+        select reason, count(*) as rows,
+          cast(round(count(*) * 1000000.0 / (select count(*) from d)) as bigint)
+            as ppm
+        from d group by reason
+    """
+
+
+def q_conversation_policy(spark, sf_dir):
+    """Conversation-level keep policy on top of turn decisions: a
+    conversation survives iff >= 60% of its turns keep AND no boilerplate
+    turn exists — aggregate-of-decisions, the conversation-granularity
+    member of the quality-filter family."""
+    tr = derive_transcripts(_t(spark, sf_dir, "documents"))
+    decided = quality_filter(tr, with_turn_order=False, compute_ppl=False)
+    return (
+        decided.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            # coalesce: the == is NULL on kept turns (drop_reason null), and
+            # max over all-NULL would null out fully-kept conversations
+            F.max(
+                F.coalesce((F.col("drop_reason") == "boilerplate").cast("int"), F.lit(0))
+            ).alias("_has_bp"),
+        )
+        .select(
+            "conv_id", "n_turns", "n_kept",
+            (
+                (F.col("n_kept") * 100 >= F.col("n_turns") * 60)
+                & (F.col("_has_bp") == 0)
+            ).alias("keep_conv"),
+        )
+    )
+
+
+def sql_conversation_policy():
+    from open_thoughts_spark.rules.heuristics import RULE_ROLES
+
+    cascade = duck_sql.reason_cascade_sql(
+        "text", role_expr="role", role_gates=RULE_ROLES
+    )
+    return f"""
+        with t as ({DERIVE_TRANSCRIPTS_SQL}),
+        d as (select conv_id, {cascade} as drop_reason from t)
+        select conv_id, count(*) as n_turns,
+          cast(sum(case when drop_reason is null then 1 else 0 end) as bigint)
+            as n_kept,
+          (cast(sum(case when drop_reason is null then 1 else 0 end) as bigint) * 100
+             >= count(*) * 60
+           and max(case when drop_reason = 'boilerplate' then 1 else 0 end) = 0)
+            as keep_conv
+        from d group by conv_id
+    """
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = with_text_stats(docs)
@@ -1635,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_docs_decisions": q_qf_docs_decisions,
         "qf_docs_scrub_pii": q_qf_docs_scrub,
         "qf_transcripts_pipeline": q_qf_transcripts,
+        "qf_metrics_by_reason": q_qf_metrics,
+        "qf_conversation_policy": q_conversation_policy,
         "text_stats_docs": q_text_stats,
         "token_length_filter": q_token_length_filter,
         "docs_fingerprint_summary": q_fingerprint_summary,
@@ -1693,6 +1775,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_docs_decisions": sql_qf_docs_decisions(),
         "qf_docs_scrub_pii": sql_qf_docs_scrub(),
         "qf_transcripts_pipeline": sql_qf_transcripts(),
+        "qf_metrics_by_reason": sql_qf_metrics(),
+        "qf_conversation_policy": sql_conversation_policy(),
         "text_stats_docs": sql_text_stats(),
         "token_length_filter": sql_token_length_filter(),
         "docs_fingerprint_summary": SQL_FINGERPRINT_SUMMARY,
