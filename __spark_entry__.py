@@ -930,6 +930,32 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_weighted_mix(spark, sf_dir):
+    """Training-mixture weighting: sources sampled at different fractions
+    (hash-threshold deterministic — layout-independent), unioned, counted
+    per source."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [docs.filter(F.col("source") == f"src{i}") for i in range(3)]
+    mixed = relational.weighted_mix(srcs, [0.9, 0.5, 0.2], ["doc_id"])
+    return mixed.groupBy("source").agg(F.count("*").alias("n_rows"))
+
+
+SQL_WEIGHTED_MIX = """
+    with m as (
+      select source, doc_id,
+        case source when 'src0' then 0 when 'src1' then 1 else 2 end as si,
+        case source when 'src0' then cast(0.9 * 4294967296 as bigint)
+                    when 'src1' then cast(0.5 * 4294967296 as bigint)
+                    else cast(0.2 * 4294967296 as bigint) end as thr
+      from documents where source in ('src0', 'src1', 'src2')
+    )
+    select source, count(*) as n_rows from m
+    where ('0x' || substr(md5('mixw' || si::varchar || '|' || doc_id::varchar),
+                          1, 8))::bigint < thr
+    group by source
+"""
+
+
 def q_topn_longest(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return relational.filter_top_n(docs, "n_chars", 25, ["doc_id"]).select(
@@ -1730,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": q_decontaminate,
         "sample_stratified_by_lang": q_stratified_sample,
         "topn_longest_docs": q_topn_longest,
+        "weighted_mix_sources": q_weighted_mix,
         "knn_bruteforce_top5": q_knn,
         "ann_lsh_top5": q_ann_lsh,
         "ann_ivf_top5": q_ann_ivf,
@@ -1790,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
+        "weighted_mix_sources": SQL_WEIGHTED_MIX,
         "knn_bruteforce_top5": SQL_KNN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
         "domain_frequency_filter": SQL_DOMAIN_FREQUENCY,

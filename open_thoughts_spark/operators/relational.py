@@ -175,6 +175,44 @@ def uniform_sample_fixed(
     )
 
 
+def sample_fraction_deterministic(
+    df: DataFrame, fraction: float, key_cols: list[str], salt: str = "frac"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by content-hash threshold — the
+    deterministic, partition-layout-independent form of ``df.sample``:
+    a row is kept iff the first 8 hex chars of md5(salt|keys), read as an
+    integer, fall below fraction × 2^32. Same rows on ANY cluster size,
+    and replayable in the SQL oracle (unlike rand(seed), which depends on
+    partition layout). The per-source weight knob for dataset mixing."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.filter(h < int(fraction * (1 << 32)))
+
+
+def weighted_mix(
+    dfs: list[DataFrame],
+    weights: list[float],
+    key_cols: list[str],
+    salt: str = "mixw",
+) -> DataFrame:
+    """Dataset mixing with per-source sampling weights (training-data
+    mixtures): deterministically subsample each source by its weight, then
+    union — each source filtered independently, no shuffle until the
+    consumer asks for one."""
+    if len(dfs) != len(weights):
+        raise ValueError("one weight per source")
+    parts = [
+        sample_fraction_deterministic(d, w, key_cols, salt=f"{salt}{i}")
+        for i, (d, w) in enumerate(zip(dfs, weights))
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, per_stratum: int, key_cols: list[str],
     salt: str = "strat",
