@@ -428,9 +428,13 @@ def q_qf_metrics(spark, sf_dir):
     tr = derive_transcripts(_t(spark, sf_dir, "documents"))
     decided = quality_filter(tr, with_turn_order=False, compute_ppl=False)
     m = drop_reason_metrics(decided)
+    # identical float-op ORDER as the SQL oracle (rows*1e6/total, one
+    # division) — round((rows/total)*1e6) can land on the other side of a
+    # .5 boundary
+    total = F.sum("rows").over(Window.partitionBy())
     return m.select(
         "reason", "rows",
-        F.round(F.col("fraction") * 1_000_000).cast("long").alias("ppm"),
+        F.round(F.col("rows") * 1_000_000.0 / total).cast("long").alias("ppm"),
     )
 
 
@@ -944,9 +948,9 @@ SQL_WEIGHTED_MIX = """
     with m as (
       select source, doc_id,
         case source when 'src0' then 0 when 'src1' then 1 else 2 end as si,
-        case source when 'src0' then cast(0.9 * 4294967296 as bigint)
-                    when 'src1' then cast(0.5 * 4294967296 as bigint)
-                    else cast(0.2 * 4294967296 as bigint) end as thr
+        case source when 'src0' then cast(trunc(0.9 * 4294967296) as bigint)
+                    when 'src1' then cast(trunc(0.5 * 4294967296) as bigint)
+                    else cast(trunc(0.2 * 4294967296) as bigint) end as thr
       from documents where source in ('src0', 'src1', 'src2')
     )
     select source, count(*) as n_rows from m
@@ -1359,7 +1363,13 @@ def q_embed_and_knn(spark, sf_dir):
     (cosine is normalization-invariant)."""
     from open_thoughts_spark.operators.embedding import embed_texts
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # tokenless (whitespace-only) texts embed to the zero vector, whose
+    # cosine is NaN in Spark but absent from the SQL token join — exclude
+    # them on both sides so the oracle pair stays total
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200)
+        & F.col("text").rlike("[^ \\t\\n\\x0B\\f\\r]")
+    )
     emb = embed_texts(
         docs, dim=32, max_chars=1_000_000_000, normalize=False
     ).select("doc_id", "embedding")
@@ -1372,7 +1382,8 @@ SQL_EMBED_KNN = f"""
     with toks as (
       select doc_id, t from (
         select doc_id, unnest(string_split_regex(lower(text), '{ANN_WS}')) as t
-        from documents where doc_id < 200
+        from documents
+        where doc_id < 200 and regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')
       ) where t != ''
     ), cnt as (
       select doc_id, ('0x' || substr(md5(t), 1, 8))::bigint % 32 as b,
@@ -1402,7 +1413,15 @@ SQL_EMBED_KNN = f"""
 def q_classifier_filter(spark, sf_dir):
     """Train NB on lang labels, keep docs scored 'en' > 0.5. md5 token
     hashing + integer count training means the whole train→score→filter
-    pipeline replays in DuckDB SQL (was rows-only in r1)."""
+    pipeline replays in DuckDB SQL (was rows-only in r1).
+
+    Residual float risk, accepted: training counts are integer-exact, but
+    the score is a sum of ln() terms whose last-bit values and summation
+    order differ between numpy and DuckDB, so a document with p_en within
+    ~1e-13 of the 0.5 cutoff could flip engines. NB posteriors concentrate
+    near 0/1 (P(hit) ≈ 1e-13 × n_docs per run); a hard threshold on a
+    model score cannot be made order-free without changing the operator's
+    semantics."""
     from open_thoughts_spark.functions.classifier import (
         classifier_filter,
         train_text_classifier,

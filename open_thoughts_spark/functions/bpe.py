@@ -66,8 +66,10 @@ def bpe_token_count(text: str) -> int:
 
 def bpe_count_sql(text_expr: str) -> str:
     """DuckDB expression computing the identical count (for oracle_sql)."""
+    # coalesce: NULL text must count 0 like the Python kernel's `or ""`,
+    # not propagate NULL through the replace chain
     norm = (
-        f"replace(trim(regexp_replace(lower({text_expr}),"
+        f"replace(trim(regexp_replace(lower(coalesce({text_expr}, '')),"
         " '[^a-z0-9]+', ' ', 'g')), ' ', '_')"
     )
     seq = f"rtrim(regexp_replace({norm}, '(.)', '\\1 ', 'g'))"

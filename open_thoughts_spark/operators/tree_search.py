@@ -103,6 +103,7 @@ def beam_search(
         F.lit(False).alias("is_terminal"),
     ).localCheckpoint(eager=True)
     terminals: DataFrame | None = None
+    retired: DataFrame | None = None  # budget-exhausted prompts' frontiers
     expanded_per_prompt: dict[int, int] = {}
 
     def _expand_runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,27 +119,46 @@ def beam_search(
                 if n >= config.node_budget
             ]
             if over:
+                # keep the exhausted prompts' best nodes for the output —
+                # dropping them from `live` must not lose them entirely
+                newly_retired = live.filter(F.col("prompt_id").isin(over))
+                retired = (
+                    newly_retired if retired is None
+                    else retired.unionByName(newly_retired)
+                )
                 live = live.filter(~F.col("prompt_id").isin(over))
+        # materialize the expansion ONCE: both the budget accounting (true
+        # successor counts, pre-prune — the expensive calls the budget
+        # bounds) and the prune read from this checkpoint
         successors = live.select(
             "prompt_id", "prompt", "path", "level"
-        ).mapInPandas(_expand_runner, schema=_FRONTIER_SCHEMA)
+        ).mapInPandas(_expand_runner, schema=_FRONTIER_SCHEMA).localCheckpoint(
+            eager=True
+        )
+        if config.node_budget is not None:
+            for r in successors.groupBy("prompt_id").count().collect():
+                expanded_per_prompt[r["prompt_id"]] = (
+                    expanded_per_prompt.get(r["prompt_id"], 0) + r["count"]
+                )
         pruned = topk_per_group(
             successors, ["prompt_id"], [F.desc("score"), F.asc("path")],
             config.beam_width,
         ).drop("rank").localCheckpoint(eager=True)
         if pruned.isEmpty():
             break
-        if config.node_budget is not None:
-            for r in pruned.groupBy("prompt_id").count().collect():
-                expanded_per_prompt[r["prompt_id"]] = (
-                    expanded_per_prompt.get(r["prompt_id"], 0) + r["count"]
-                )
         new_terminals = pruned.filter(F.col("is_terminal"))
         terminals = (
             new_terminals if terminals is None
             else terminals.unionByName(new_terminals)
         )
         frontier = pruned
-    leftovers = frontier.filter(~F.col("is_terminal"))
-    out = leftovers if terminals is None else terminals.unionByName(leftovers)
+    out = frontier.filter(~F.col("is_terminal"))
+    if retired is not None:
+        # if the loop ended right after a retirement, the stale frontier
+        # still carries the retired prompt's rows — retired is canonical
+        out = out.join(
+            retired.select("prompt_id").distinct(), on="prompt_id", how="left_anti"
+        ).unionByName(retired)
+    if terminals is not None:
+        out = out.unionByName(terminals)
     return out.select("prompt_id", "prompt", "path", "level", "score", "is_terminal")

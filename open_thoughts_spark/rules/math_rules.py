@@ -98,7 +98,9 @@ def filter_out_proofs(df: DataFrame, problem_col: str = "problem") -> DataFrame:
 # --- DuckDB oracle fragments built from the SAME constants ---
 
 def _q(s: str) -> str:
-    return "'" + s.replace("'", "''").replace("\\", "\\") + "'"
+    # single-quote doubling only: DuckDB standard string literals treat
+    # backslashes literally, so no backslash escaping is needed
+    return "'" + s.replace("'", "''") + "'"
 
 
 def math_flags_sql(problem_expr: str, solution_expr: str) -> dict[str, str]:

@@ -218,3 +218,26 @@ def test_beam_search_node_budget_stops_expansion(spark):
         prompts, mock_expand(4), BeamSearchConfig(beam_width=4, beam_depth=6)
     ).collect()
     assert max(r["level"] for r in cheap) < max(r["level"] for r in rich)
+
+
+def test_beam_search_budget_keeps_exhausted_prompt_output(spark):
+    """Code-review r2: a budget-exhausted prompt must keep its best frontier
+    in the output even while other prompts continue searching."""
+    from open_thoughts_spark.operators.tree_search import (
+        BeamSearchConfig,
+        beam_search,
+        mock_expand,
+    )
+
+    prompts = spark.createDataFrame(
+        [(1, "short budget prompt"), (2, "long budget prompt")],
+        "prompt_id long, instruction string",
+    )
+    # budget 4 retires both prompts quickly; depth 6 keeps the loop going
+    out = beam_search(
+        prompts, mock_expand(4), BeamSearchConfig(beam_width=4, beam_depth=6, node_budget=4)
+    ).collect()
+    assert {r["prompt_id"] for r in out} == {1, 2}
+    # no duplicate (prompt, path) rows from the retire/frontier interplay
+    keys = [(r["prompt_id"], r["path"]) for r in out]
+    assert len(keys) == len(set(keys))

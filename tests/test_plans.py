@@ -141,20 +141,22 @@ def test_uniform_sample_is_take_ordered_not_global_window(spark):
 
 
 def test_filter_rank_windows_over_distinct_scores_only(spark):
-    """filter_rank's window must run on the aggregated score domain (rows
-    flow through HashAggregate first), never on the raw table."""
+    """filter_rank's window must run on the (checkpointed, range-
+    partitioned) distinct-score counts — partitioned by _pid, never a
+    global unpartitioned window over raw rows."""
     from open_thoughts_spark.operators import relational
 
     df = spark.read.parquet(f"{SF}/documents.parquet")
     out = relational.filter_rank(df, "n_chars", 0.2)
     plan = plan_of(out)
-    assert "HashAggregate" in plan
-    assert "BroadcastHashJoin" in plan  # kept scores semi-joined back
-    # every Window node must consume the aggregated (score, _cnt) domain —
-    # i.e. its input carries the count column, proving no raw-table window
+    assert "LeftSemi" in plan  # kept scores semi-joined back
+    # every Window node consumes the aggregated (score, _cnt) domain and is
+    # partitioned by _pid (the range-partition id) — no raw-table window,
+    # no single-partition global window
     details = [seg for seg in plan.split("\n\n") if seg.startswith("(") and ") Window" in seg.split("\n")[0]]
     assert details, "no Window detail section found"
     assert all("_cnt" in d for d in details), details
+    assert "partitionspec=[_pid" in plan.lower().replace(" ", "").replace("#", "").replace("int,", ",") or "_pid" in "".join(details)
 
 
 def test_filter_rank_matches_percent_rank_semantics(spark):
@@ -167,6 +169,28 @@ def test_filter_rank_matches_percent_rank_semantics(spark):
     rows = [(i, [5, 5, 4, 3, 3, 3, 2, 1][i % 8]) for i in range(64)]
     df = spark.createDataFrame(rows, "id int, score int")
     for frac in (0.0, 0.1, 0.25, 0.5, 0.999, 1.0):
+        got = sorted(r["id"] for r in relational.filter_rank(df, "score", frac).collect())
+        ref = sorted(
+            r["id"]
+            for r in df.withColumn(
+                "_pr", F.percent_rank().over(W.orderBy(F.desc("score")))
+            )
+            .filter(F.col("_pr") <= frac)
+            .collect()
+        )
+        assert got == ref, frac
+
+
+def test_filter_rank_null_scores_and_unique_scores(spark):
+    """Code-review r2: nulls keep the percent_rank (desc_nulls_last)
+    placement, and near-unique (continuous) scores stay correct."""
+    from pyspark.sql import Window as W
+
+    from open_thoughts_spark.operators import relational
+
+    rows = [(i, None if i % 7 == 0 else float(i * 13 % 97) + i * 1e-6) for i in range(80)]
+    df = spark.createDataFrame(rows, "id int, score double")
+    for frac in (0.0, 0.3, 0.9, 1.0):
         got = sorted(r["id"] for r in relational.filter_rank(df, "score", frac).collect())
         ref = sorted(
             r["id"]
