@@ -1549,8 +1549,10 @@ SQL_MULTIMODAL_FEATURIZE = """
 
 def q_tree_search_beam(spark, sf_dir):
     """Beam-search scaffold (tree_search_operator.py:22-120) over prompts
-    derived from documents; deterministic mock expander. Driver-loop
-    iterative — rows-only check (unit tests pin width/depth/budget/paths)."""
+    derived from documents; deterministic md5 mock expander — which makes
+    the bounded search fully SQL-expressible: the oracle unrolls the 3
+    expand→prune rounds as CTEs, value-checking frontier evolution, beam
+    pruning and terminal accumulation."""
     from open_thoughts_spark.operators.tree_search import (
         BeamSearchConfig,
         beam_search,
@@ -1564,6 +1566,50 @@ def q_tree_search_beam(spark, sf_dir):
     )
     cfg = BeamSearchConfig(beam_width=3, beam_depth=3)
     return beam_search(prompts, mock_expand(3), cfg)
+
+
+def sql_tree_search_beam(depth: int = 3, width: int = 3, branch: int = 3):
+    """Unrolled beam-search oracle: one (expand, prune) CTE pair per round.
+    h = md5(prompt|path|b); step/score/terminal derived exactly like
+    tree_search.mock_expand (score division by the same constant gives
+    bit-identical doubles)."""
+    ctes = [
+        """p0 as (
+          select doc_id as prompt_id, substr(text, 1, 60) as prompt,
+            '' as path, 0 as level, 0.0 as score, false as is_terminal
+          from documents where doc_id < 8
+        )"""
+    ]
+    terminal_unions = []
+    for r in range(1, depth + 1):
+        h = f"md5(prompt || '|' || path || '|' || b::varchar)"
+        ctes.append(f"""s{r} as (
+          select prompt_id, prompt,
+            case when path = '' then 'step-' || substr({h}, 1, 6)
+                 else path || ' -> ' || 'step-' || substr({h}, 1, 6) end as path,
+            level + 1 as level,
+            ('0x' || substr({h}, 1, 8))::bigint / 4294967295.0 as score,
+            substr({h}, 32, 1) in ('0', '1', '2') as is_terminal
+          from (select * from p{r - 1} where not is_terminal) live,
+               range({branch}) t(b)
+        )""")
+        ctes.append(f"""p{r} as (
+          select prompt_id, prompt, path, level, score, is_terminal from (
+            select *, row_number() over (partition by prompt_id
+                                         order by score desc, path) as rn
+            from s{r}
+          ) where rn <= {width}
+        )""")
+        terminal_unions.append(f"select * from p{r} where is_terminal")
+    body = "\n        union all\n        ".join(
+        terminal_unions + [f"select * from p{depth} where not is_terminal"]
+    )
+    return f"""
+        with {', '.join(ctes)}
+        select prompt_id, prompt, path, cast(level as int) as level,
+          score, is_terminal
+        from ({body})
+    """
 
 
 def q_rouge_seed_filter(spark, sf_dir):
@@ -1861,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
+        "tree_search_beam": sql_tree_search_beam(),
         "embed_docs_knn": SQL_EMBED_KNN,
         "classifier_lang_filter": SQL_CLASSIFIER_FILTER,
     }
