@@ -242,6 +242,34 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+def q_events_tumbling_window(spark, sf_dir):
+    """Tumbling 6-hour window aggregation via F.window — the exact
+    batch-mode expression of the streaming windowed agg (same function
+    Structured Streaming uses with a watermark); oracled via DuckDB
+    time_bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+    select strftime(time_bucket(interval 6 hours, ts), '%Y-%m-%d %H:%M:%S')
+             as window_start,
+      event_type, count(*) as n_events,
+      cast(sum(cast(round(value*100) as bigint)) as bigint) as value_cents
+    from events group by 1, 2
+"""
+
+
 def q_window_top_customers(spark, sf_dir):
     """Top-3 customers per market segment by balance (ranked window)."""
     c = _t(spark, sf_dir, "customer")
@@ -1800,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_rollup": q_events_daily,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_pivot,
+        "events_tumbling_window": q_events_tumbling_window,
         "window_top_customers": q_window_top_customers,
         "orders_running_total": q_orders_running_total,
         "merge_left_enrich": q_merge_enrich,
@@ -1861,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_rollup": SQL_EVENTS_DAILY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_type_pivot": SQL_EVENTS_PIVOT,
+        "events_tumbling_window": SQL_EVENTS_TUMBLING,
         "window_top_customers": SQL_WINDOW_TOP_CUSTOMERS,
         "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
         "merge_left_enrich": SQL_MERGE_ENRICH,

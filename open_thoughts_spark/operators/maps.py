@@ -214,8 +214,111 @@ REASON_MAP = RichMap(
 )
 
 
+# --- chat (ChatMap: the plain system+user -> completion shape) ---
+
+def _chat_prompt(chunk: pd.DataFrame) -> pd.Series:
+    return "You are a helpful assistant.\nUser: " + chunk["user_message"].fillna("")
+
+
+def _chat_mock(prompts: pd.Series) -> pd.Series:
+    return prompts.fillna("").map(lambda p: f"reply-{_digest(p)}")
+
+
+CHAT_MAP = RichMap(
+    name="chat",
+    input_cols=["user_message"],
+    build_prompt=_chat_prompt,
+    parse_response=lambda raw: pd.DataFrame({"completion": raw.fillna("")}),
+    out_schema="`completion` string",
+    mock=_chat_mock,
+)
+
+
+# --- binary_classifier (BinaryClassifierMap: bool + reasoning) ---
+
+def _clf_prompt(chunk: pd.DataFrame) -> pd.Series:
+    return (
+        "Answer the classification question about the text with JSON "
+        '{"response": bool, "reasoning": str}.\nQuestion: '
+        + chunk["question"].fillna("")
+        + "\nText: "
+        + chunk["text"].fillna("")
+    )
+
+
+def _clf_mock(prompts: pd.Series) -> pd.Series:
+    def classify(p: str) -> str:
+        verdict = int(hashlib.sha256(p.encode()).hexdigest()[:2], 16) % 2 == 0
+        return json.dumps({"response": verdict, "reasoning": f"because [{_digest(p)}]"})
+
+    return prompts.fillna("").map(classify)
+
+
+def _clf_parse(raw: pd.Series) -> pd.DataFrame:
+    parsed = raw.fillna("{}").map(json.loads)
+    return pd.DataFrame(
+        {
+            "response": parsed.map(lambda d: bool(d.get("response", False))),
+            "classifier_reasoning": parsed.map(lambda d: d.get("reasoning", "")),
+        }
+    )
+
+
+BINARY_CLASSIFIER_MAP = RichMap(
+    name="binary_classifier",
+    input_cols=["question", "text"],
+    build_prompt=_clf_prompt,
+    parse_response=_clf_parse,
+    out_schema="`response` boolean, `classifier_reasoning` string",
+    mock=_clf_mock,
+)
+
+
+# --- list (ListMap: structured list-of-strings, row-expanding) ---
+
+def _list_prompt(chunk: pd.DataFrame) -> pd.Series:
+    return (
+        "Produce a JSON array of strings answering the request.\nRequest: "
+        + chunk["request"].fillna("")
+    )
+
+
+def _list_mock(prompts: pd.Series) -> pd.Series:
+    def items(p: str) -> str:
+        d = _digest(p)
+        k = int(d[:2], 16) % 3 + 1
+        return json.dumps([f"item-{d}-{j}" for j in range(k)])
+
+    return prompts.fillna("").map(items)
+
+
+LIST_MAP = RichMap(
+    name="list",
+    input_cols=["request"],
+    build_prompt=_list_prompt,
+    parse_response=lambda raw: pd.DataFrame({"items_json": raw.fillna("[]")}),
+    out_schema="`items_json` string",
+    mock=_list_mock,
+)
+
+
+def explode_list_map(df: DataFrame, out_col: str = "item") -> DataFrame:
+    """ListMap's row-expanding parse (list_map.py:28-41): one output row per
+    list element, other columns duplicated."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out_col,
+        F.explode(F.from_json(F.col("items_json"), "array<string>")),
+    ).drop("items_json")
+
+
 MAPS: dict[str, RichMap] = {
-    m.name: m for m in (JUDGE_MAP, DIFFICULTY_MAP, EXTRACT_ANSWER_MAP, REASON_MAP)
+    m.name: m
+    for m in (
+        JUDGE_MAP, DIFFICULTY_MAP, EXTRACT_ANSWER_MAP, REASON_MAP,
+        CHAT_MAP, BINARY_CLASSIFIER_MAP, LIST_MAP,
+    )
 }
 
 

@@ -241,3 +241,26 @@ def test_beam_search_budget_keeps_exhausted_prompt_output(spark):
     # no duplicate (prompt, path) rows from the retire/frontier interplay
     keys = [(r["prompt_id"], r["path"]) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_chat_classifier_and_list_maps(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map, explode_list_map
+
+    chat = spark.createDataFrame([("hello there",)], "user_message string")
+    out = apply_map(chat, MAPS["chat"]).collect()[0]
+    assert out["completion"].startswith("reply-")
+
+    clf = spark.createDataFrame(
+        [("is this spam?", "buy now"), ("is this spam?", "meeting at 3")],
+        "question string, text string",
+    )
+    rows = apply_map(clf, MAPS["binary_classifier"]).collect()
+    assert all(isinstance(r["response"], bool) for r in rows)
+    assert all(r["classifier_reasoning"].startswith("because [") for r in rows)
+
+    req = spark.createDataFrame([("list three fruits",)], "request string")
+    listed = apply_map(req, MAPS["list"])
+    exploded = explode_list_map(listed).collect()
+    assert 1 <= len(exploded) <= 3
+    assert all(r["item"].startswith("item-") for r in exploded)
+    assert all(r["request"] == "list three fruits" for r in exploded)
