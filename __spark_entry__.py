@@ -676,6 +676,69 @@ def sql_math_domain_filter():
     """
 
 
+def q_code_domain_filter(spark, sf_dir):
+    """Code-domain curation cascade (open_thoughts/code/filters.py:4-48):
+    url/[image]/short description, empty test inputs/outputs, empty
+    solutions — derived deterministically from documents so every rule
+    fires."""
+    from open_thoughts_spark.rules.math_rules import with_code_decision
+
+    docs = _t(spark, sf_dir, "documents")
+    m4 = F.col("doc_id") % 4
+    long_text = F.concat(F.col("text"), F.lit(" "), F.col("text"), F.lit(" "), F.col("text"))
+    description = (
+        F.when(m4 == 0, F.concat(F.lit("fetch from http://example.com then "), long_text))
+        .when(m4 == 1, F.concat(F.lit("As shown [Image] here: "), long_text))
+        .when(m4 == 2, F.substring(F.col("text"), 1, 50))
+        .otherwise(long_text)
+    )
+    m3 = F.col("doc_id") % 3
+    tests = (
+        F.when(m3 == 0, F.lit('{"inputs": [], "outputs": []}'))
+        .when(m3 == 1, F.lit('{"inputs": ["1", "2"], "outputs": ["a"]}'))
+        .otherwise(F.lit('{"inputs": ["1"], "outputs": []}'))
+    )
+    solutions = F.when(F.col("doc_id") % 2 == 0, F.lit("[]")).otherwise(
+        F.lit('["def f(): pass"]')
+    )
+    derived = docs.select(
+        "doc_id",
+        description.alias("description"),
+        tests.alias("tests"),
+        solutions.alias("solutions"),
+    )
+    return with_code_decision(derived).select(
+        "doc_id", "code_drop_reason", "keep_code"
+    )
+
+
+def sql_code_domain_filter():
+    from open_thoughts_spark.rules.math_rules import code_reason_sql
+
+    long_text = "text || ' ' || text || ' ' || text"
+    description = (
+        "case when doc_id % 4 = 0 then 'fetch from http://example.com then ' || " + long_text
+        + " when doc_id % 4 = 1 then 'As shown [Image] here: ' || " + long_text
+        + " when doc_id % 4 = 2 then substr(text, 1, 50)"
+        + f" else {long_text} end"
+    )
+    tests = (
+        "case when doc_id % 3 = 0 then '{\"inputs\": [], \"outputs\": []}'"
+        " when doc_id % 3 = 1 then '{\"inputs\": [\"1\", \"2\"], \"outputs\": [\"a\"]}'"
+        " else '{\"inputs\": [\"1\"], \"outputs\": []}' end"
+    )
+    solutions = (
+        "case when doc_id % 2 = 0 then '[]'"
+        " else '[\"def f(): pass\"]' end"
+    )
+    reason = code_reason_sql(f"({description})", f"({tests})", f"({solutions})")
+    return f"""
+        select doc_id, {reason} as code_drop_reason,
+          ({reason} is null) as keep_code
+        from documents
+    """
+
+
 def q_dedup_keyfirst(spark, sf_dir):
     """Exact dedup keep-first on a colliding key (lang, word_count)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1841,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_filter": q_token_length_filter,
         "docs_fingerprint_summary": q_fingerprint_summary,
         "math_domain_filter": q_math_domain_filter,
+        "code_domain_filter": q_code_domain_filter,
         "dedup_exact_keyfirst": q_dedup_keyfirst,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -1903,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "token_length_filter": sql_token_length_filter(),
         "docs_fingerprint_summary": SQL_FINGERPRINT_SUMMARY,
         "math_domain_filter": sql_math_domain_filter(),
+        "code_domain_filter": sql_code_domain_filter(),
         "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_pairs": sql_minhash_pairs(),

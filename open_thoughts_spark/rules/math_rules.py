@@ -95,6 +95,93 @@ def filter_out_proofs(df: DataFrame, problem_col: str = "problem") -> DataFrame:
     return df.filter(~F.coalesce(cond, F.lit(True)))
 
 
+# --- code-domain filters (open_thoughts/code/filters.py:4-48) ---
+
+CODE_RULE_ORDER: list[str] = [
+    "url_in_description", "image_in_description", "description_too_short",
+    "no_tests", "no_solutions",
+]
+
+
+def code_rule_flags(
+    description: Column,
+    tests_json: Column,
+    solutions_json: Column,
+    min_description_length: int = 200,
+) -> dict[str, Column]:
+    """filter_problem / filter_tests / filter_solutions as native exprs.
+
+    tests arrive as a JSON document {"inputs": [...], "outputs": [...]};
+    solutions as a JSON array — the reference's json.loads becomes
+    json_array_length over get_json_object paths (no Python)."""
+    ld = F.lower(description)
+    n_inputs = F.coalesce(
+        F.json_array_length(F.get_json_object(tests_json, "$.inputs")), F.lit(0)
+    )
+    n_outputs = F.coalesce(
+        F.json_array_length(F.get_json_object(tests_json, "$.outputs")), F.lit(0)
+    )
+    n_solutions = F.coalesce(F.json_array_length(solutions_json), F.lit(0))
+    return {
+        "url_in_description": ld.contains("http://"),
+        "image_in_description": ld.contains("[image]"),
+        "description_too_short": description.isNull()
+        | (F.length(description) < min_description_length),
+        "no_tests": (n_inputs == 0) | (n_outputs == 0),
+        "no_solutions": n_solutions == 0,
+    }
+
+
+def with_code_decision(
+    df: DataFrame,
+    description_col: str = "description",
+    tests_col: str = "tests",
+    solutions_col: str = "solutions",
+    min_description_length: int = 200,
+) -> DataFrame:
+    """Attach ``code_drop_reason`` (null = keep) + ``keep_code`` — the code
+    curation cascade (filters.py composed like the math one)."""
+    flags = code_rule_flags(
+        F.col(description_col), F.col(tests_col), F.col(solutions_col),
+        min_description_length,
+    )
+    whens = [
+        F.when(F.coalesce(flags[name], F.lit(False)), F.lit(name))
+        for name in CODE_RULE_ORDER
+    ]
+    reason = F.coalesce(*whens)
+    return df.withColumn("code_drop_reason", reason).withColumn(
+        "keep_code", reason.isNull()
+    )
+
+
+def code_reason_sql(
+    description_expr: str,
+    tests_expr: str,
+    solutions_expr: str,
+    min_description_length: int = 200,
+) -> str:
+    ld = f"lower({description_expr})"
+    flags = {
+        "url_in_description": f"contains({ld}, 'http://')",
+        "image_in_description": f"contains({ld}, '[image]')",
+        "description_too_short": (
+            f"({description_expr} is null"
+            f" or length({description_expr}) < {min_description_length})"
+        ),
+        "no_tests": (
+            f"(coalesce(json_array_length(json_extract({tests_expr}, '$.inputs')), 0) = 0"
+            f" or coalesce(json_array_length(json_extract({tests_expr}, '$.outputs')), 0) = 0)"
+        ),
+        "no_solutions": f"(coalesce(json_array_length({solutions_expr}), 0) = 0)",
+    }
+    whens = " ".join(
+        f"when coalesce({flags[name]}, false) then '{name}'"
+        for name in CODE_RULE_ORDER
+    )
+    return f"(case {whens} else null end)"
+
+
 # --- DuckDB oracle fragments built from the SAME constants ---
 
 def _q(s: str) -> str:

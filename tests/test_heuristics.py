@@ -140,3 +140,35 @@ def test_math_filter_reference_parity(spark):
     assert dec[6] == "proof_qed"
     assert dec[7] == "no_boxed"
     assert dec[8] == "proof_problem"
+
+
+def test_code_filter_reference_parity(spark):
+    """Pin filter_problem/filter_tests/filter_solutions semantics
+    (open_thoughts/code/filters.py:4-48)."""
+    from open_thoughts_spark.rules.math_rules import with_code_decision
+
+    long = "x" * 250
+    rows = [
+        (0, long, '{"inputs": ["1"], "outputs": ["2"]}', '["s"]'),   # keep
+        (1, "see HTTP://a.b " + long, '{"inputs": ["1"], "outputs": ["2"]}', '["s"]'),
+        (2, "[IMAGE] " + long, '{"inputs": ["1"], "outputs": ["2"]}', '["s"]'),
+        (3, "short desc", '{"inputs": ["1"], "outputs": ["2"]}', '["s"]'),
+        (4, long, '{"inputs": [], "outputs": ["2"]}', '["s"]'),
+        (5, long, '{"inputs": ["1"], "outputs": []}', '["s"]'),
+        (6, long, None, '["s"]'),
+        (7, long, '{"inputs": ["1"], "outputs": ["2"]}', "[]"),
+        (8, None, '{"inputs": ["1"], "outputs": ["2"]}', '["s"]'),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, description string, tests string, solutions string"
+    )
+    dec = {r["id"]: r["code_drop_reason"] for r in with_code_decision(df).collect()}
+    assert dec[0] is None
+    assert dec[1] == "url_in_description"       # lowercased match
+    assert dec[2] == "image_in_description"
+    assert dec[3] == "description_too_short"
+    assert dec[4] == "no_tests"
+    assert dec[5] == "no_tests"
+    assert dec[6] == "no_tests"                  # null tests -> drop
+    assert dec[7] == "no_solutions"
+    assert dec[8] == "description_too_short"     # null description -> drop
