@@ -315,6 +315,83 @@ SQL_ORDERS_RUNNING_TOTAL = """
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each click gets the user's latest purchase at-or-before
+    its timestamp (backward inclusive). Spark lacks the operator — this is
+    the single-shuffle union+window formulation; the oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from open_thoughts_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = relational.dedup_on_columns(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), "ts"
+        ),
+        ["user_id", "ts"],
+        ["purchase_id"],
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["purchase_id"]
+    )
+    return out.select("event_id", "user_id", F.col("purchase_id_asof"))
+
+
+SQL_EVENTS_ASOF = """
+    with c as (
+      select user_id, event_id, ts from events where event_type = 'click'
+    ), p0 as (
+      select user_id, ts, event_id as purchase_id,
+        row_number() over (partition by user_id, ts order by event_id) as rn
+      from events where event_type = 'purchase'
+    ), p as (
+      select user_id, ts, purchase_id from p0 where rn = 1
+    )
+    select c.event_id, c.user_id, p.purchase_id as purchase_id_asof
+    from c asof left join p on c.user_id = p.user_id and c.ts >= p.ts
+"""
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join: clicks falling inside [purchase_ts, purchase_ts + 2h)
+    attribution windows per user — bucket-expansion equi-join (no theta
+    join); oracle is the plain BETWEEN join."""
+    from open_thoughts_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("w_end"),
+    )
+    out = range_join(
+        clicks, windows, ["user_id"], "ts", "w_start", "w_end",
+        bucket_seconds=7200,
+    )
+    return out.select("click_id", "purchase_id", "user_id")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+    with c as (
+      select user_id, event_id as click_id, ts from events
+      where event_type = 'click'
+    ), p as (
+      select user_id, event_id as purchase_id, ts as w_start,
+        ts + interval 2 hours as w_end
+      from events where event_type = 'purchase'
+    )
+    select c.click_id, p.purchase_id, c.user_id
+    from c join p on c.user_id = p.user_id
+      and c.ts >= p.w_start and c.ts < p.w_end
+"""
+
+
 def q_events_pivot(spark, sf_dir):
     """Per-user event-type counts (pivot as conditional aggregation)."""
     ev = _t(spark, sf_dir, "events")
@@ -1892,6 +1969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_pivot,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "window_top_customers": q_window_top_customers,
         "orders_running_total": q_orders_running_total,
         "merge_left_enrich": q_merge_enrich,
@@ -1955,6 +2034,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_type_pivot": SQL_EVENTS_PIVOT,
         "events_tumbling_window": SQL_EVENTS_TUMBLING,
+        "events_asof_join": SQL_EVENTS_ASOF,
+        "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "window_top_customers": SQL_WINDOW_TOP_CUSTOMERS,
         "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
         "merge_left_enrich": SQL_MERGE_ENRICH,

@@ -77,3 +77,46 @@ def test_add_row_ids_scalable_matches_global_window(spark):
          for r in relational.add_row_ids_scalable(df, ["k"], num_partitions=8).collect()}
     assert a == b
     assert sorted(b.values()) == list(range(1, 5001))  # dense 1..N
+
+
+def test_asof_join_backward_inclusive(spark):
+    from open_thoughts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l-a"), (1, 5, "l-b"), (1, 3, "l-c"), (2, 7, "l-d")],
+        "k long, ts long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r-x"), (1, 4, "r-y"), (2, 9, "r-z")],
+        "k long, ts long, rname string",
+    )
+    out = {r["lname"]: r["rname_asof"]
+           for r in asof_join(left, right, ["k"], "ts", "ts", ["rname"]).collect()}
+    assert out == {
+        "l-a": "r-x",   # equal ts matches (inclusive)
+        "l-b": "r-y",   # latest at-or-before 5 is ts=4
+        "l-c": None,    # nothing at-or-before 3
+        "l-d": None,    # right ts=9 is after left ts=7
+    }
+    # row count preserved (left join)
+    assert asof_join(left, right, ["k"], "ts", "ts", ["rname"]).count() == 4
+
+
+def test_range_join_bucket_expansion(spark):
+    from open_thoughts_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", "p1"), (1, "2025-01-01 11:59:59", "p2"),
+         (1, "2025-01-01 12:00:00", "p3"), (2, "2025-01-01 10:30:00", "p4")],
+        "k long, ts string, pid string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ivals = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", "2025-01-01 12:00:00", "w1"),
+         (2, "2025-01-01 11:00:00", "2025-01-01 13:00:00", "w2")],
+        "k long, s string, e string, wid string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    got = {(r["pid"], r["wid"])
+           for r in range_join(points, ivals, ["k"], "ts", "s", "e",
+                               bucket_seconds=1800).collect()}
+    # start inclusive, end exclusive; keys respected; exactly one row/pair
+    assert got == {("p1", "w1"), ("p2", "w1")}
