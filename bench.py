@@ -61,6 +61,9 @@ HEADLINE = [
     "classifier_lang_filter",
     "dedup_simhash_bandblock",
     "ann_lsh_top5",
+    # temporal operators (union+window as-of; streaming-shaped window agg)
+    "events_asof_join",
+    "events_tumbling_window",
 ]
 
 
