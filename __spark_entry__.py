@@ -1306,6 +1306,52 @@ SQL_EMBEDDING_NEARDUP = """
 """
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs blocked by LSH bucket — the 100×-safe
+    blocking (bucket cardinality grows with the corpus; a 10-value label
+    block is quadratic within each value). md5-integer buckets make it
+    value-checkable; 4 planes keeps the fixture's ~0.4-cosine pairs
+    colliding often enough to verify non-zero rows."""
+    emb = similarity.with_lsh_bucket(
+        _t(spark, sf_dir, "embeddings"), n_planes=4
+    )
+    return similarity.cosine_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.4, block_col="lsh_bucket"
+    )
+
+
+SQL_EMBEDDING_NEARDUP_LSH = """
+    with v as (
+      select vec_id, embedding::double[] as e,
+        list_transform(embedding::double[],
+                       x -> cast(trunc(x * 1000000) as bigint)) as q
+      from embeddings
+    ), w as (
+      select p, i,
+        ('0x' || substr(md5(p::varchar || '|' || i::varchar), 1, 8))::bigint
+          % 16 - 8 as wt
+      from range(4) t(p), range(64) d(i)
+    ), proj as (
+      select vec_id, p, sum(q[i + 1] * wt) as s from v, w group by 1, 2
+    ), bkt as (
+      select vec_id,
+        cast(sum(case when s > 0 then 1::bigint << p else 0 end) as bigint)
+          as bucket
+      from proj group by 1
+    )
+    select a.vec_id as id_a, b.vec_id as id_b,
+      round(list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e))
+             * sqrt(list_dot_product(vb.e, vb.e))), 6) as cosine
+    from bkt a join bkt b on a.bucket = b.bucket and a.vec_id < b.vec_id
+    join v va on va.vec_id = a.vec_id
+    join v vb on vb.vec_id = b.vec_id
+    where round(list_dot_product(va.e, vb.e) /
+          (sqrt(list_dot_product(va.e, va.e))
+           * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.4
+"""
+
+
 def q_domain_frequency(spark, sf_dir):
     """Two-phase count + HAVING (WebInstruct domain-frequency shape)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1998,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top5": q_ann_lsh,
         "ann_ivf_top5": q_ann_ivf,
         "embedding_neardup_pairs": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "domain_frequency_filter": q_domain_frequency,
         "conv_full_text": q_conv_full_text,
         "conv_instruction_response": q_conv_instruction_response,
@@ -2061,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix_sources": SQL_WEIGHTED_MIX,
         "knn_bruteforce_top5": SQL_KNN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
+        "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
         "domain_frequency_filter": SQL_DOMAIN_FREQUENCY,
         "conv_full_text": SQL_CONV_FULL_TEXT,
         "conv_instruction_response": SQL_CONV_INSTRUCTION_RESPONSE,
