@@ -1084,6 +1084,75 @@ SQL_DECONTAMINATE = f"""
 """
 
 
+def q_decontaminate_combined(spark, sf_dir):
+    """Production decontamination mask (_A1_Source/utils.py:161-189):
+    3-gram overlap OR (LSH candidate AND Jaccard >= 0.2) vs the src0 eval
+    set, channels OR-combined. The oracle replays BOTH channels including
+    the exact LSH candidacy (8 perms, 4 bands x 2 rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    return decontaminate.combined_contaminated_ids(
+        pool, eval_df, "doc_id", "text",
+        n=3, min_jaccard=0.2, num_perm=8, bands=4, rows_per_band=2,
+        shingle_n=3,
+    )
+
+
+def sql_decontaminate_combined():
+    band_rows = []
+    for b in range(4):
+        c0, c1 = f"mh_{2*b}", f"mh_{2*b+1}"
+        band_rows.append(
+            f"select doc_id, {b} as band_idx,"
+            f" md5({c0} || '|' || {c1}) as band_key from sig"
+        )
+    bands = " union all ".join(band_rows)
+    mins = ", ".join(f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8))
+    return f"""
+        with w as (
+          select doc_id, source, {WORDS_SQL} as words from documents
+        ), sh as (
+          select doc_id, source, unnest(list_distinct([
+            array_to_string(words[i:i+2], ' ')
+            for i in range(1, greatest(len(words) - 2, 0) + 1)
+          ])) as sh
+          from w
+        ), ngram_ids as (
+          select distinct d.doc_id
+          from sh d join (select distinct sh from sh where source = 'src0') e
+            on d.sh = e.sh
+          where d.source != 'src0'
+        ), sig as (
+          select doc_id, {mins} from sh group by doc_id
+        ), bands as ({bands}),
+        cand_pairs as (
+          select distinct e.doc_id as eid, d.doc_id as did
+          from bands e
+          join documents de on de.doc_id = e.doc_id and de.source = 'src0'
+          join bands d on d.band_idx = e.band_idx and d.band_key = e.band_key
+          join documents dd on dd.doc_id = d.doc_id and dd.source != 'src0'
+        ), sizes as (
+          select doc_id, count(*) as n from sh group by doc_id
+        ), common as (
+          select c.eid, c.did, count(*) as common
+          from cand_pairs c
+          join sh a on a.doc_id = c.eid
+          join sh b on b.doc_id = c.did and b.sh = a.sh
+          group by 1, 2
+        ), fuzzy_ids as (
+          select distinct c.did as doc_id
+          from common c
+          join sizes se on se.doc_id = c.eid
+          join sizes sd on sd.doc_id = c.did
+          where c.common / (se.n + sd.n - c.common)::double >= 0.2
+        )
+        select doc_id from ngram_ids
+        union
+        select doc_id from fuzzy_ids
+    """
+
+
 # --- sampling / top-k ---
 
 def q_stratified_sample(spark, sf_dir):
@@ -2037,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_transitive_closure": q_dedup_closure,
         "decontaminate_ngram": q_decontaminate,
+        "decontaminate_combined": q_decontaminate_combined,
         "sample_stratified_by_lang": q_stratified_sample,
         "topn_longest_docs": q_topn_longest,
         "weighted_mix_sources": q_weighted_mix,
@@ -2103,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_transitive_closure": sql_dedup_closure(),
         "decontaminate_ngram": SQL_DECONTAMINATE,
+        "decontaminate_combined": sql_decontaminate_combined(),
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,

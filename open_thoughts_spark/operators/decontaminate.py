@@ -109,3 +109,36 @@ def fuzzy_decontaminate(
     return df.join(
         losers, on=F.col(id_col).cast("long") == F.col("_loser"), how="left_anti"
     )
+
+
+def combined_contaminated_ids(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = config.DECONTAMINATE_NGRAM_N,
+    min_jaccard: float = 0.5,
+    num_perm: int = config.MINHASH_NUM_PERM,
+    bands: int = config.MINHASH_BANDS,
+    rows_per_band: int = config.MINHASH_ROWS_PER_BAND,
+    shingle_n: int = config.SHINGLE_SIZE,
+) -> DataFrame:
+    """The reference's PRODUCTION decontamination mask: a row is
+    contaminated if it shares an n-gram with the eval set OR is
+    LSH-candidate + Jaccard-similar to an eval row — the two channels are
+    OR-combined like _A1_Source/utils.py:161-189. Returns distinct ids."""
+    ngram_ids = contaminated_ids(df, eval_df, id_col, text_col, n=n)
+    docs = df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
+    evals = eval_df.select(
+        (-1 - F.col(id_col).cast("long")).alias("_id"), F.col(text_col).alias("_t")
+    )
+    both = docs.unionByName(evals)
+    sig = minhash_signature(both, "_id", "_t", num_perm=num_perm, shingle_n=shingle_n)
+    cands = candidate_pairs(
+        lsh_bands(sig, "_id", bands=bands, rows_per_band=rows_per_band), "_id"
+    ).filter((F.col("id_a") < 0) & (F.col("id_b") >= 0))
+    verified = jaccard_pairs(
+        both, "_id", "_t", shingle_n=shingle_n, min_jaccard=min_jaccard, pairs=cands
+    )
+    fuzzy_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return ngram_ids.unionByName(fuzzy_ids).distinct()
