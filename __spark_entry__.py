@@ -270,6 +270,39 @@ SQL_EVENTS_TUMBLING = """
 """
 
 
+def q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical time rollup: one pass emits 6-hour,
+    daily and grand-total aggregates via ROLLUP(day, bucket6h) with
+    grouping_id — the continuous-aggregate shape over event time."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    b6 = F.date_format(F.timestamp_seconds(F.floor(F.unix_seconds(F.col("ts").cast("timestamp_ltz")) / 21600) * 21600), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.select(day.alias("day"), b6.alias("bucket6h"), "value")
+        .rollup("day", "bucket6h")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_EVENTS_TIME_ROLLUP = """
+    with e as (
+      select strftime(ts, '%Y-%m-%d') as day,
+        strftime(to_timestamp(cast(floor(epoch(ts) / 21600) * 21600 as bigint)),
+                 '%Y-%m-%d %H:%M:%S') as bucket6h,
+        value
+      from events
+    )
+    select day, bucket6h, count(*) as n_events,
+      cast(sum(cast(round(value*100) as bigint)) as bigint) as value_cents,
+      cast(grouping(day, bucket6h) as bigint) as gid
+    from e group by rollup(day, bucket6h)
+"""
+
+
 def q_window_top_customers(spark, sf_dir):
     """Top-3 customers per market segment by balance (ranked window)."""
     c = _t(spark, sf_dir, "customer")
@@ -2086,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": q_events_tumbling_window,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_time_rollup": q_events_time_rollup,
         "window_top_customers": q_window_top_customers,
         "orders_running_total": q_orders_running_total,
         "merge_left_enrich": q_merge_enrich,
@@ -2153,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": SQL_EVENTS_TUMBLING,
         "events_asof_join": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
+        "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
         "window_top_customers": SQL_WINDOW_TOP_CUSTOMERS,
         "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
         "merge_left_enrich": SQL_MERGE_ENRICH,
