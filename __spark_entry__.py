@@ -291,7 +291,10 @@ def q_events_time_rollup(spark, sf_dir):
 SQL_EVENTS_TIME_ROLLUP = """
     with e as (
       select strftime(ts, '%Y-%m-%d') as day,
-        strftime(to_timestamp(cast(floor(epoch(ts) / 21600) * 21600 as bigint)),
+        -- epoch_ms returns a NAIVE timestamp (to_timestamp would be
+        -- TIMESTAMPTZ and render in the host TimeZone, breaking the UTC
+        -- parity on non-UTC hosts — code-review r2)
+        strftime(epoch_ms(cast(floor(epoch(ts) / 21600) * 21600000 as bigint)),
                  '%Y-%m-%d %H:%M:%S') as bucket6h,
         value
       from events

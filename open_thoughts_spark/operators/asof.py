@@ -35,14 +35,26 @@ def asof_join(
     rvals = right_value_cols or [
         c for c in right.columns if c not in key_cols and c != right_ts
     ]
+    # join-semantics NULL handling: a SQL join never matches NULL keys or
+    # NULL timestamps, so such right rows must not enter the carry-forward
+    # (a NULL-ts right row would sort first and leak onto every left row)
+    r_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in key_cols:
+        r_clean = r_clean.filter(F.col(k).isNotNull())
+    # carry the right values as ONE struct so the left row gets a single
+    # whole right row — per-column carries would mix values from different
+    # right rows whenever a later row holds NULL in some column
+    rv_struct = F.struct(*[F.col(c) for c in rvals])
     l_tag = left.select(
         *key_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in key_cols and c != left_ts],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in rvals],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rvals) + ">"
+        ).alias("_rv"),
     )
-    r_tag = right.select(
+    r_tag = r_clean.select(
         *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
@@ -51,30 +63,28 @@ def asof_join(
             for c in left.columns
             if c not in key_cols and c != left_ts
         ],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
+        rv_struct.alias("_rv"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at equal ts (_is_left asc) →
-    # inclusive backward semantics; last(ignorenulls) carries them forward
+    # inclusive backward semantics; last(ignorenulls) carries the whole
+    # struct forward (non-null for every right row, even with null members)
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col("_ts"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *key_cols,
-        "_ts",
-        "_is_left",
-        *[c for c in left.columns if c not in key_cols and c != left_ts],
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in rvals
-        ],
+    filled = unioned.withColumn(
+        "_rv", F.last(F.col("_rv"), ignorenulls=True).over(w)
     )
     return (
         filled.filter(F.col("_is_left") == 1)
-        .withColumnRenamed("_ts", left_ts)
-        .drop("_is_left")
+        .select(
+            *key_cols,
+            F.col("_ts").alias(left_ts),
+            *[c for c in left.columns if c not in key_cols and c != left_ts],
+            *[F.col(f"_rv.{c}").alias(f"{c}{suffix}") for c in rvals],
+        )
     )
 
 
@@ -99,7 +109,9 @@ def range_join(
     s_us = F.unix_micros(F.col(start_ts).cast("timestamp_ltz"))
     e_us = F.unix_micros(F.col(end_ts).cast("timestamp_ltz"))
     pb = points.withColumn("_b", F.floor(p_us / w_us))
-    ib = intervals.withColumn(
+    # guard inverted/empty intervals: sequence(stop < start) would generate
+    # a DESCENDING bucket list (junk fan-out) instead of zero rows
+    ib = intervals.filter(e_us > s_us).withColumn(
         "_b", F.explode(F.sequence(F.floor(s_us / w_us), F.floor((e_us - 1) / w_us)))
     )
     joined = pb.join(ib, on=key_cols + ["_b"]).drop("_b")

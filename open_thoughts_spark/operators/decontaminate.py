@@ -77,6 +77,38 @@ def contaminated_ids(
     return doc_grams.join(eval_grams, on="_g").select(id_col).distinct()
 
 
+def _fuzzy_contaminated_ids(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str,
+    eval_text_col: str | None = None,
+    min_jaccard: float = 0.5,
+    num_perm: int = config.MINHASH_NUM_PERM,
+    bands: int = config.MINHASH_BANDS,
+    rows_per_band: int = config.MINHASH_ROWS_PER_BAND,
+    shingle_n: int = config.SHINGLE_SIZE,
+) -> DataFrame:
+    """Shared fuzzy channel: ids of docs that LSH-collide with an eval row
+    AND verify at Jaccard >= min_jaccard. Eval rows are tagged with
+    negative ids so the pair machinery (id_a < id_b) puts eval first."""
+    etc = eval_text_col or text_col
+    docs = df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
+    evals = eval_df.select(
+        (-1 - F.col(eval_id_col).cast("long")).alias("_id"), F.col(etc).alias("_t")
+    )
+    both = docs.unionByName(evals)
+    sig = minhash_signature(both, "_id", "_t", num_perm=num_perm, shingle_n=shingle_n)
+    cands = candidate_pairs(
+        lsh_bands(sig, "_id", bands=bands, rows_per_band=rows_per_band), "_id"
+    ).filter((F.col("id_a") < 0) & (F.col("id_b") >= 0))  # eval × doc pairs
+    verified = jaccard_pairs(
+        both, "_id", "_t", shingle_n=shingle_n, min_jaccard=min_jaccard, pairs=cands
+    )
+    return verified.select(F.col("id_b").alias(id_col)).distinct()
+
+
 def fuzzy_decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -92,20 +124,9 @@ def fuzzy_decontaminate(
     operating point; candidates come from shared LSH bands between the doc
     corpus and the (broadcastable) eval signatures.
     """
-    etc = eval_text_col or text_col
-    # tag eval rows with negative ids so pair machinery (id_a < id_b) puts
-    # eval first and docs second
-    docs = df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
-    evals = eval_df.select(
-        (-1 - F.col(eval_id_col).cast("long")).alias("_id"), F.col(etc).alias("_t")
-    )
-    both = docs.unionByName(evals)
-    sig = minhash_signature(both, "_id", "_t")
-    cands = candidate_pairs(lsh_bands(sig, "_id"), "_id").filter(
-        (F.col("id_a") < 0) & (F.col("id_b") >= 0)  # eval × doc pairs only
-    )
-    verified = jaccard_pairs(both, "_id", "_t", min_jaccard=min_jaccard, pairs=cands)
-    losers = verified.select(F.col("id_b").alias("_loser")).distinct()
+    losers = _fuzzy_contaminated_ids(
+        df, eval_df, id_col, text_col, eval_id_col, eval_text_col, min_jaccard
+    ).withColumnRenamed(id_col, "_loser")
     return df.join(
         losers, on=F.col(id_col).cast("long") == F.col("_loser"), how="left_anti"
     )
@@ -128,17 +149,9 @@ def combined_contaminated_ids(
     LSH-candidate + Jaccard-similar to an eval row — the two channels are
     OR-combined like _A1_Source/utils.py:161-189. Returns distinct ids."""
     ngram_ids = contaminated_ids(df, eval_df, id_col, text_col, n=n)
-    docs = df.select(F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t"))
-    evals = eval_df.select(
-        (-1 - F.col(id_col).cast("long")).alias("_id"), F.col(text_col).alias("_t")
+    fuzzy_ids = _fuzzy_contaminated_ids(
+        df, eval_df, id_col, text_col, id_col,
+        min_jaccard=min_jaccard, num_perm=num_perm, bands=bands,
+        rows_per_band=rows_per_band, shingle_n=shingle_n,
     )
-    both = docs.unionByName(evals)
-    sig = minhash_signature(both, "_id", "_t", num_perm=num_perm, shingle_n=shingle_n)
-    cands = candidate_pairs(
-        lsh_bands(sig, "_id", bands=bands, rows_per_band=rows_per_band), "_id"
-    ).filter((F.col("id_a") < 0) & (F.col("id_b") >= 0))
-    verified = jaccard_pairs(
-        both, "_id", "_t", shingle_n=shingle_n, min_jaccard=min_jaccard, pairs=cands
-    )
-    fuzzy_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
     return ngram_ids.unionByName(fuzzy_ids).distinct()

@@ -304,12 +304,16 @@ LIST_MAP = RichMap(
 
 def explode_list_map(df: DataFrame, out_col: str = "item") -> DataFrame:
     """ListMap's row-expanding parse (list_map.py:28-41): one output row per
-    list element, other columns duplicated."""
+    list element, other columns duplicated. A malformed (unparseable)
+    items_json yields ONE row with a NULL item — visible data loss instead
+    of a silently vanished input row; a legitimately empty list yields
+    zero rows, like the reference."""
     from pyspark.sql import functions as F
 
+    parsed = F.from_json(F.col("items_json"), "array<string>")
     return df.withColumn(
         out_col,
-        F.explode(F.from_json(F.col("items_json"), "array<string>")),
+        F.explode(F.coalesce(parsed, F.array(F.lit(None).cast("string")))),
     ).drop("items_json")
 
 

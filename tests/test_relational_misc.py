@@ -120,3 +120,42 @@ def test_range_join_bucket_expansion(spark):
                                bucket_seconds=1800).collect()}
     # start inclusive, end exclusive; keys respected; exactly one row/pair
     assert got == {("p1", "w1"), ("p2", "w1")}
+
+
+def test_asof_join_whole_row_and_null_semantics(spark):
+    """Code-review r2: multi-column right values must come from ONE right
+    row (no per-column mixing over NULLs), and NULL keys/timestamps never
+    match — like the SQL ASOF join."""
+    from open_thoughts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 2, "l1"), (7, 5, "l7"), (None, 4, "ln")],
+        "k long, ts long, lname string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 0, 1, 2),        # older row, both values set
+            (1, 1, 5, None),     # newer row, b is NULL
+            (7, None, 9, 9),     # NULL ts: must never match
+            (None, 1, 8, 8),     # NULL key: must never match
+        ],
+        "k long, ts long, a long, b long",
+    )
+    rows = {r["lname"]: (r["a_asof"], r["b_asof"])
+            for r in asof_join(left, right, ["k"], "ts", "ts", ["a", "b"]).collect()}
+    assert rows["l1"] == (5, None)   # whole newest row, NOT (5, 2)
+    assert rows["l7"] == (None, None)
+    assert rows["ln"] == (None, None)
+
+
+def test_range_join_inverted_interval_yields_nothing(spark):
+    from open_thoughts_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", "p1")], "k long, ts string, pid string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    bad = spark.createDataFrame(
+        [(1, "2025-06-01 00:00:00", "2025-01-01 00:00:00", "wbad")],
+        "k long, s string, e string, wid string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    assert range_join(points, bad, ["k"], "ts", "s", "e").count() == 0
