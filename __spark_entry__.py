@@ -306,6 +306,50 @@ SQL_EVENTS_TIME_ROLLUP = """
 """
 
 
+def q_events_session_window(spark, sf_dir):
+    """Native gap-based sessions via F.session_window (the Structured
+    Streaming session operator, in batch): 30-min gap, per-user session
+    start + event count. Oracle replays the half-open gap semantics (an
+    event at EXACTLY start+gap opens a new session, hence >=) with a
+    lag/cumsum construction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+    with g as (
+      select user_id, ts,
+        case when epoch_us(ts) - lag(epoch_us(ts))
+               over (partition by user_id order by ts, event_id) is null
+             or epoch_us(ts) - lag(epoch_us(ts))
+               over (partition by user_id order by ts, event_id)
+               >= 1800000000
+             then 1 else 0 end as new_sess
+      from events
+    ), s as (
+      select user_id, ts,
+        sum(new_sess) over (partition by user_id order by ts
+                            rows between unbounded preceding and current row)
+          as sid
+      from g
+    )
+    select user_id,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+      count(*) as n_events
+    from s group by user_id, sid
+"""
+
+
 def q_window_top_customers(spark, sf_dir):
     """Top-3 customers per market segment by balance (ranked window)."""
     c = _t(spark, sf_dir, "customer")
@@ -2123,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_time_rollup": q_events_time_rollup,
+        "events_session_window": q_events_session_window,
         "window_top_customers": q_window_top_customers,
         "orders_running_total": q_orders_running_total,
         "merge_left_enrich": q_merge_enrich,
@@ -2191,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
+        "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "window_top_customers": SQL_WINDOW_TOP_CUSTOMERS,
         "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
         "merge_left_enrich": SQL_MERGE_ENRICH,
