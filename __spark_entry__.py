@@ -687,6 +687,51 @@ def sql_conversation_policy():
     """
 
 
+def q_gopher_quality_filter(spark, sf_dir):
+    """Gopher web-quality rule cascade (Rae et al. 2021 §A1.1 — the rule
+    family the reference's DCLM/RefinedWeb inputs were curated with).
+    Every rule fires via deterministic adversarial variants derived from
+    documents; the untouched rows exercise the pass path."""
+    from open_thoughts_spark.rules.gopher import with_gopher_decision
+
+    docs = _t(spark, sf_dir, "documents")
+    m6 = F.col("doc_id") % 6
+    text = (
+        F.when(m6 == 0, F.substring(F.col("text"), 1, 30))          # too few words
+        .when(m6 == 1, F.concat(F.col("text"), F.lit(" ### ## # ### # ## ###")))
+        .when(m6 == 2, F.concat(F.lit("- a\n- b\n- c\n- d\n- e"))) # bullets
+        .when(m6 == 3, F.concat(F.col("text"), F.lit("...\nmore...\nyes...")))
+        .when(m6 == 4, F.lit("12 34 56 78 90 11 22 33 44 55 " * 8))  # non-alpha
+        .otherwise(F.concat(F.lit("the cat sat with the dog and that was that "),
+                            F.col("text"), F.lit(" "), F.col("text")))
+    )
+    return with_gopher_decision(docs.select("doc_id", text.alias("text"))).select(
+        "doc_id", "gopher_drop_reason", "keep_gopher"
+    )
+
+
+def sql_gopher_quality_filter():
+    from open_thoughts_spark.rules.gopher import gopher_reason_sql
+
+    text = (
+        "case when doc_id % 6 = 0 then substr(text, 1, 30)"
+        " when doc_id % 6 = 1 then text || ' ### ## # ### # ## ###'"
+        " when doc_id % 6 = 2 then '- a' || chr(10) || '- b' || chr(10) ||"
+        " '- c' || chr(10) || '- d' || chr(10) || '- e'"
+        " when doc_id % 6 = 3 then text || '...' || chr(10) || 'more...' ||"
+        " chr(10) || 'yes...'"
+        " when doc_id % 6 = 4 then repeat('12 34 56 78 90 11 22 33 44 55 ', 8)"
+        " else 'the cat sat with the dog and that was that ' || text || ' ' || text"
+        " end"
+    )
+    reason = gopher_reason_sql(f"({text})")
+    return f"""
+        select doc_id, {reason} as gopher_drop_reason,
+          ({reason} is null) as keep_gopher
+        from documents
+    """
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = with_text_stats(docs)
@@ -2181,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint_summary": q_fingerprint_summary,
         "math_domain_filter": q_math_domain_filter,
         "code_domain_filter": q_code_domain_filter,
+        "gopher_quality_filter": q_gopher_quality_filter,
         "dedup_exact_keyfirst": q_dedup_keyfirst,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -2250,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint_summary": SQL_FINGERPRINT_SUMMARY,
         "math_domain_filter": sql_math_domain_filter(),
         "code_domain_filter": sql_code_domain_filter(),
+        "gopher_quality_filter": sql_gopher_quality_filter(),
         "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_pairs": sql_minhash_pairs(),

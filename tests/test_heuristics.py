@@ -172,3 +172,30 @@ def test_code_filter_reference_parity(spark):
     assert dec[6] == "no_tests"                  # null tests -> drop
     assert dec[7] == "no_solutions"
     assert dec[8] == "description_too_short"     # null description -> drop
+
+
+def test_gopher_rules_fire_individually(spark):
+    from open_thoughts_spark.rules.gopher import with_gopher_decision
+
+    good = ("the cat sat with a dog and that was that because we have seen "
+            "many things happen here today and tomorrow brings more work ") * 3
+    rows = [
+        (0, good),                                                   # keep
+        (1, "too few words here"),                                   # word_count
+        (2, good + " " + "### " * 30),                               # symbol_ratio (hashes)
+        (3, "- a\n- b\n- c\n- d\n- e"),                              # bullets (also short)
+        (4, good + "...\n" + "more...\n" + "uh...\n" + "so...\n"),   # ellipsis lines
+        (5, ("1234 5678 9012 3456 7890 " * 12) + "the of and to be that have"),
+        (6, ("zzzz " * 60).strip()),                                 # no stop words
+        (7, ("a b c " * 40) + "the of"),                             # mean len < 3
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    dec = {r["id"]: r["gopher_drop_reason"] for r in with_gopher_decision(df).collect()}
+    assert dec[0] is None
+    assert dec[1] == "word_count"
+    assert dec[2] == "symbol_ratio"
+    assert dec[3] == "word_count"  # cascade order: bullets doc is also short
+    assert dec[4] == "ellipsis_lines"
+    assert dec[5] == "non_alpha_words"
+    assert dec[6] == "stop_words"
+    assert dec[7] == "mean_word_length"
