@@ -732,6 +732,73 @@ def sql_gopher_quality_filter():
     """
 
 
+def q_gopher_repetition_filter(spark, sf_dir):
+    """MassiveText repetition filters: duplicate-line fraction (pure map)
+    + top-bigram coverage (one explode + per-doc agg). Derived variants
+    plant duplicate lines / looped bigrams so both channels fire."""
+    from open_thoughts_spark.rules.gopher import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    line = F.substring(F.col("text"), 1, 40)
+    loop3 = F.concat_ws(
+        " ",
+        *([F.substring(F.col("text"), 1, 11)] * 12),
+    )
+    text = (
+        F.when(m3 == 0, F.concat_ws("\n", line, line, line, F.col("text")))
+        .when(m3 == 1, loop3)
+        .otherwise(F.col("text"))
+    )
+    out = with_repetition_stats(
+        docs.select("doc_id", text.alias("text")), "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac6"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac6"),
+        "keep_repetition",
+    )
+
+
+def sql_gopher_repetition_filter():
+    text = (
+        "case when doc_id % 3 = 0 then substr(text, 1, 40) || chr(10) ||"
+        " substr(text, 1, 40) || chr(10) || substr(text, 1, 40) || chr(10) || text"
+        " when doc_id % 3 = 1 then concat_ws(' ', "
+        + ", ".join(["substr(text, 1, 11)"] * 12)
+        + ") else text end"
+    )
+    return f"""
+        with d as (
+          select doc_id, ({text}) as text from documents
+        ), lines as (
+          select doc_id,
+            len(string_split(text, chr(10)))::double as n_lines,
+            len(list_distinct(string_split(text, chr(10))))::double as n_uniq
+          from d
+        ), w as (
+          select doc_id, {WORDS_SQL} as words from d
+        ), grams as (
+          select doc_id, unnest([
+            array_to_string(words[i:i+1], ' ')
+            for i in range(1, greatest(len(words) - 1, 0) + 1)
+          ]) as g
+          from w
+        ), top as (
+          select doc_id, max(c)::double / sum(c)::double as top_frac from (
+            select doc_id, g, count(*) as c from grams group by 1, 2
+          ) group by doc_id
+        )
+        select l.doc_id,
+          round((l.n_lines - l.n_uniq) / l.n_lines, 6) as dup_line_frac6,
+          round(coalesce(t.top_frac, 0.0), 6) as top_bigram_frac6,
+          ((l.n_lines - l.n_uniq) / l.n_lines <= 0.3
+           and coalesce(t.top_frac, 0.0) <= 0.2) as keep_repetition
+        from lines l left join top t on t.doc_id = l.doc_id
+    """
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = with_text_stats(docs)
@@ -2227,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_domain_filter": q_math_domain_filter,
         "code_domain_filter": q_code_domain_filter,
         "gopher_quality_filter": q_gopher_quality_filter,
+        "gopher_repetition_filter": q_gopher_repetition_filter,
         "dedup_exact_keyfirst": q_dedup_keyfirst,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -2297,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "math_domain_filter": sql_math_domain_filter(),
         "code_domain_filter": sql_code_domain_filter(),
         "gopher_quality_filter": sql_gopher_quality_filter(),
+        "gopher_repetition_filter": sql_gopher_repetition_filter(),
         "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_pairs": sql_minhash_pairs(),

@@ -38,8 +38,12 @@ def words_expr(text: Column, lowercase: bool = True) -> Column:
     return F.split(F.trim(t), "[ \\t\\n\\x0B\\f\\r]+")
 
 
-def shingles_expr(text: Column, n: int = config.SHINGLE_SIZE) -> Column:
-    """Distinct word n-gram shingles as an array<string> (native exprs).
+def shingles_expr(
+    text: Column, n: int = config.SHINGLE_SIZE, distinct: bool = True
+) -> Column:
+    """Word n-gram shingles as an array<string> (native exprs); distinct
+    by default (set-based dedup), ``distinct=False`` keeps multiplicity
+    (repetition statistics).
 
     Formulation matters at scale: a ``transform(sequence(...), i ->
     concat_ws(slice(words, i, n)))`` lambda re-evaluates the ``words`` split
@@ -49,14 +53,14 @@ def shingles_expr(text: Column, n: int = config.SHINGLE_SIZE) -> Column:
     """
     w = words_expr(text)
     if n == 1:
-        return F.array_distinct(w)
+        return F.array_distinct(w) if distinct else w
     gram_count = F.greatest(F.size(w) - (n - 1), F.lit(0))
     shifted = [F.slice(w, i + 1, gram_count).alias(f"w{i}") for i in range(n)]
     zipped = F.arrays_zip(*shifted)
     grams = F.transform(
         zipped, lambda x: F.concat_ws(" ", *[x[f"w{i}"] for i in range(n)])
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_signature(

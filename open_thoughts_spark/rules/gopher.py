@@ -97,6 +97,54 @@ def with_gopher_decision(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- repetition filters (the MassiveText/Gopher repetition family) ---
+
+MAX_DUP_LINE_FRAC = 0.3
+MAX_TOP_BIGRAM_FRAC = 0.2
+
+
+def dup_line_frac_expr(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line."""
+    lines = F.split(text, "\\n")
+    n = F.size(lines).cast("double")
+    return (n - F.size(F.array_distinct(lines))) / n
+
+
+def with_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Attach dup_line_frac (pure map) and top_bigram_frac (the fraction of
+    the document's word bigrams taken by its single most frequent bigram —
+    one explode + per-doc agg, a single shuffle) plus ``keep_repetition``.
+    High values mark boilerplate/template pages (MassiveText repetition
+    removal)."""
+    from open_thoughts_spark.operators.dedup import shingles_expr
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), 2, distinct=False)).alias("_g"),
+    )
+    top = (
+        grams.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+        .select(
+            F.col(id_col),
+            (F.col("_top") / F.col("_total")).alias("top_bigram_frac"),
+        )
+    )
+    out = df.withColumn("dup_line_frac", dup_line_frac_expr(F.col(text_col)))
+    out = out.join(top, on=id_col, how="left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+    return out.withColumn(
+        "keep_repetition",
+        (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC),
+    )
+
+
 def gopher_reason_sql(text_expr: str) -> str:
     """DuckDB cascade from the SAME constants/patterns."""
     t = text_expr
