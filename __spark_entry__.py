@@ -309,9 +309,9 @@ SQL_EVENTS_TIME_ROLLUP = """
 def q_events_session_window(spark, sf_dir):
     """Native gap-based sessions via F.session_window (the Structured
     Streaming session operator, in batch): 30-min gap, per-user session
-    start + event count. Oracle replays the half-open gap semantics (an
-    event at EXACTLY start+gap opens a new session, hence >=) with a
-    lag/cumsum construction."""
+    start + event count. Spark MERGES an event arriving at exactly
+    start+gap into the session (verified empirically), so the oracle's
+    lag/cumsum splits strictly on gap > 30min."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -333,7 +333,7 @@ SQL_EVENTS_SESSION_WINDOW = """
                over (partition by user_id order by ts, event_id) is null
              or epoch_us(ts) - lag(epoch_us(ts))
                over (partition by user_id order by ts, event_id)
-               >= 1800000000
+               > 1800000000
              then 1 else 0 end as new_sess
       from events
     ), s as (
@@ -695,15 +695,27 @@ def q_gopher_quality_filter(spark, sf_dir):
     from open_thoughts_spark.rules.gopher import with_gopher_decision
 
     docs = _t(spark, sf_dir, "documents")
-    m6 = F.col("doc_id") % 6
+    m8 = F.col("doc_id") % 8
+    bullets = F.repeat(F.lit("- item alpha beta\n"), 20)      # 80 words, 95% bullets
+    nonalpha = F.concat(
+        F.repeat(F.lit("1234 5678 9012 3456 7890 "), 12),     # 60 digit words
+        F.lit("the of and to be that have"),                  # stopwords present
+    )
+    nostop = F.repeat(F.lit("zzzz qqqq wwww "), 20)           # 60 words, no stopwords
+    shortmean = F.concat(F.repeat(F.lit("a b c "), 40), F.lit("the of"))
+    longtext = F.concat(
+        F.lit("the cat sat with the dog and that was that "),
+        F.col("text"), F.lit(" "), F.col("text"),
+    )
     text = (
-        F.when(m6 == 0, F.substring(F.col("text"), 1, 30))          # too few words
-        .when(m6 == 1, F.concat(F.col("text"), F.lit(" ### ## # ### # ## ###")))
-        .when(m6 == 2, F.concat(F.lit("- a\n- b\n- c\n- d\n- e"))) # bullets
-        .when(m6 == 3, F.concat(F.col("text"), F.lit("...\nmore...\nyes...")))
-        .when(m6 == 4, F.lit("12 34 56 78 90 11 22 33 44 55 " * 8))  # non-alpha
-        .otherwise(F.concat(F.lit("the cat sat with the dog and that was that "),
-                            F.col("text"), F.lit(" "), F.col("text")))
+        F.when(m8 == 0, F.substring(F.col("text"), 1, 30))    # too few words
+        .when(m8 == 1, F.concat(longtext, F.lit(" ### ## # ### # ## ###")))
+        .when(m8 == 2, bullets)
+        .when(m8 == 3, F.concat(longtext, F.lit("...\nmore...\nyes...")))
+        .when(m8 == 4, nonalpha)
+        .when(m8 == 5, nostop)
+        .when(m8 == 6, shortmean)                             # mean word len < 3
+        .otherwise(longtext)
     )
     return with_gopher_decision(docs.select("doc_id", text.alias("text"))).select(
         "doc_id", "gopher_drop_reason", "keep_gopher"
@@ -713,15 +725,18 @@ def q_gopher_quality_filter(spark, sf_dir):
 def sql_gopher_quality_filter():
     from open_thoughts_spark.rules.gopher import gopher_reason_sql
 
+    longtext = "'the cat sat with the dog and that was that ' || text || ' ' || text"
     text = (
-        "case when doc_id % 6 = 0 then substr(text, 1, 30)"
-        " when doc_id % 6 = 1 then text || ' ### ## # ### # ## ###'"
-        " when doc_id % 6 = 2 then '- a' || chr(10) || '- b' || chr(10) ||"
-        " '- c' || chr(10) || '- d' || chr(10) || '- e'"
-        " when doc_id % 6 = 3 then text || '...' || chr(10) || 'more...' ||"
+        "case when doc_id % 8 = 0 then substr(text, 1, 30)"
+        f" when doc_id % 8 = 1 then {longtext} || ' ### ## # ### # ## ###'"
+        " when doc_id % 8 = 2 then repeat('- item alpha beta' || chr(10), 20)"
+        f" when doc_id % 8 = 3 then {longtext} || '...' || chr(10) || 'more...' ||"
         " chr(10) || 'yes...'"
-        " when doc_id % 6 = 4 then repeat('12 34 56 78 90 11 22 33 44 55 ', 8)"
-        " else 'the cat sat with the dog and that was that ' || text || ' ' || text"
+        " when doc_id % 8 = 4 then repeat('1234 5678 9012 3456 7890 ', 12)"
+        " || 'the of and to be that have'"
+        " when doc_id % 8 = 5 then repeat('zzzz qqqq wwww ', 20)"
+        " when doc_id % 8 = 6 then repeat('a b c ', 40) || 'the of'"
+        f" else {longtext}"
         " end"
     )
     reason = gopher_reason_sql(f"({text})")
@@ -741,12 +756,14 @@ def q_gopher_repetition_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     m3 = F.col("doc_id") % 3
     line = F.substring(F.col("text"), 1, 40)
+    nl = F.lit("\n")
     loop3 = F.concat_ws(
         " ",
         *([F.substring(F.col("text"), 1, 11)] * 12),
     )
     text = (
-        F.when(m3 == 0, F.concat_ws("\n", line, line, line, F.col("text")))
+        # null-propagating concat (like SQL ||), NOT null-skipping concat_ws
+        F.when(m3 == 0, F.concat(line, nl, line, nl, line, nl, F.col("text")))
         .when(m3 == 1, loop3)
         .otherwise(F.col("text"))
     )

@@ -42,10 +42,12 @@ GOPHER_RULE_ORDER = [
     "bullet_lines", "ellipsis_lines", "non_alpha_words", "stop_words",
 ]
 
-# counting patterns (portable: no multiline flag — line starts/ends are
-# spelled as (^|\n) / (\n|$) alternations)
+# counting patterns (portable: no multiline flag — line starts are spelled
+# as (^|\n); line ENDS never use `$`, because Java's `$` matches before a
+# final \r/  while RE2's matches end-of-text only — instead a sentinel
+# '\n' is appended to the text before counting ellipsis-terminated lines)
 BULLET_LINE_REGEX = f"(^|\\n){_WS.replace(chr(92) + 'n', '')}*[-*•]"
-ELLIPSIS_LINE_REGEX = "(\\.\\.\\.|…)(\\r?\\n|$)"
+ELLIPSIS_LINE_REGEX = "(\\.\\.\\.|…)\\n"  # count over text + '\n'
 ALPHA_WORD_REGEX = f"{_NWS}*[A-Za-z]{_NWS}*"
 
 
@@ -59,7 +61,9 @@ def gopher_rule_flags(text: Column) -> dict[str, Column]:
     )
     n_lines = (F.regexp_count(text, F.lit("\\n")) + 1).cast("double")
     bullet_lines = F.regexp_count(text, F.lit(BULLET_LINE_REGEX))
-    ellipsis_lines = F.regexp_count(text, F.lit(ELLIPSIS_LINE_REGEX))
+    ellipsis_lines = F.regexp_count(
+        F.concat(text, F.lit("\n")), F.lit(ELLIPSIS_LINE_REGEX)
+    )
     alpha_words = F.regexp_count(text, F.lit(ALPHA_WORD_REGEX)).cast("double")
     stop_hits = None
     for w in REQUIRED_STOPWORDS:
@@ -115,9 +119,9 @@ def with_repetition_stats(
 ) -> DataFrame:
     """Attach dup_line_frac (pure map) and top_bigram_frac (the fraction of
     the document's word bigrams taken by its single most frequent bigram —
-    one explode + per-doc agg, a single shuffle) plus ``keep_repetition``.
-    High values mark boilerplate/template pages (MassiveText repetition
-    removal)."""
+    explode → (id, gram) agg → (id) agg → join back: two aggregation
+    shuffles plus the join exchange) plus ``keep_repetition``. High values
+    mark boilerplate/template pages (MassiveText repetition removal)."""
     from open_thoughts_spark.operators.dedup import shingles_expr
 
     grams = df.select(
@@ -160,7 +164,7 @@ def gopher_reason_sql(text_expr: str) -> str:
     )
     n_lines = f"(len(regexp_extract_all({t}, '\\n')) + 1)::double"
     bullets = f"len(regexp_extract_all({t}, '(^|\\n)[ \\t\\x0B\\f\\r]*[-*•]'))"
-    ell_lines = f"len(regexp_extract_all({t}, '(\\.\\.\\.|…)(\\r?\\n|$)'))"
+    ell_lines = f"len(regexp_extract_all({t} || chr(10), '(\\.\\.\\.|…)\\n'))"
     alpha = f"len(regexp_extract_all({t}, '{nws}*[A-Za-z]{nws}*'))"
     stop = " + ".join(
         f"(case when regexp_matches({t}, '(?i)(^|{ws}){w}({ws}|$)')"

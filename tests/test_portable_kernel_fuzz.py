@@ -50,7 +50,7 @@ def test_bpe_count_parity_fuzz(seed):
 
 @pytest.mark.parametrize("seed", [3, 11])
 def test_tokens_and_bucket_parity_fuzz(seed):
-    texts = [t for t in _corpus(seed, 80)]
+    texts = _corpus(seed, 80)
     con = duckdb.connect()
     con.execute("create table t(i int, s varchar)")
     con.executemany("insert into t values (?, ?)", list(enumerate(texts)))
