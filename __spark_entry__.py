@@ -773,6 +773,7 @@ def q_gopher_repetition_filter(spark, sf_dir):
     return out.select(
         "doc_id",
         F.round("dup_line_frac", 6).alias("dup_line_frac6"),
+        F.round("dup_paragraph_frac", 6).alias("dup_para_frac6"),
         F.round("top_bigram_frac", 6).alias("top_bigram_frac6"),
         "keep_repetition",
     )
@@ -792,7 +793,10 @@ def sql_gopher_repetition_filter():
         ), lines as (
           select doc_id,
             len(string_split(text, chr(10)))::double as n_lines,
-            len(list_distinct(string_split(text, chr(10))))::double as n_uniq
+            len(list_distinct(string_split(text, chr(10))))::double as n_uniq,
+            len(string_split(text, chr(10) || chr(10)))::double as n_paras,
+            len(list_distinct(string_split(text, chr(10) || chr(10))))::double
+              as n_uniq_paras
           from d
         ), w as (
           select doc_id, {WORDS_SQL} as words from d
@@ -809,8 +813,10 @@ def sql_gopher_repetition_filter():
         )
         select l.doc_id,
           round((l.n_lines - l.n_uniq) / l.n_lines, 6) as dup_line_frac6,
+          round((l.n_paras - l.n_uniq_paras) / l.n_paras, 6) as dup_para_frac6,
           round(coalesce(t.top_frac, 0.0), 6) as top_bigram_frac6,
           ((l.n_lines - l.n_uniq) / l.n_lines <= 0.3
+           and (l.n_paras - l.n_uniq_paras) / l.n_paras <= 0.3
            and coalesce(t.top_frac, 0.0) <= 0.2) as keep_repetition
         from lines l left join top t on t.doc_id = l.doc_id
     """

@@ -114,6 +114,13 @@ def dup_line_frac_expr(text: Column) -> Column:
     return (n - F.size(F.array_distinct(lines))) / n
 
 
+def dup_paragraph_frac_expr(text: Column) -> Column:
+    """Fraction of blank-line-separated paragraphs that are duplicates."""
+    paras = F.split(text, "\\n\\n")
+    n = F.size(paras).cast("double")
+    return (n - F.size(F.array_distinct(paras))) / n
+
+
 def with_repetition_stats(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -138,13 +145,16 @@ def with_repetition_stats(
             (F.col("_top") / F.col("_total")).alias("top_bigram_frac"),
         )
     )
-    out = df.withColumn("dup_line_frac", dup_line_frac_expr(F.col(text_col)))
+    out = df.withColumn(
+        "dup_line_frac", dup_line_frac_expr(F.col(text_col))
+    ).withColumn("dup_paragraph_frac", dup_paragraph_frac_expr(F.col(text_col)))
     out = out.join(top, on=id_col, how="left").withColumn(
         "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
     )
     return out.withColumn(
         "keep_repetition",
         (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+        & (F.col("dup_paragraph_frac") <= MAX_DUP_LINE_FRAC)
         & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC),
     )
 
