@@ -557,6 +557,10 @@ def q_qf_docs_scrub(spark, sf_dir):
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" token sk-"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        F.lit(" host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111 1111 1111 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" ok"),
     )
     return docs.select(
@@ -568,7 +572,10 @@ def sql_qf_docs_scrub():
     pii = (
         "substr(text, 1, 40) || ' contact user' || (doc_id % 997)::varchar"
         " || '@example.com or +1-555-' || lpad((doc_id % 10000)::varchar, 4, '0')"
-        " || ' token sk-' || substr(md5(doc_id::varchar), 1, 12) || ' ok'"
+        " || ' token sk-' || substr(md5(doc_id::varchar), 1, 12)"
+        " || ' host 10.0.' || (doc_id % 256)::varchar || '.7'"
+        " || ' card 4111 1111 1111 ' || lpad((doc_id % 10000)::varchar, 4, '0')"
+        " || ' ok'"
     )
     return f"select doc_id, {scrub_sql(pii)} as scrubbed_text from documents"
 

@@ -42,6 +42,23 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
     ("whitespace", f"[{_WS}]+", " ", "[\\t\\n\\x0B\\f\\r]|  "),
     # 3. emails
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "@"),
+    # 3b. IPv4 addresses — BEFORE phones (digit-dot runs must not be eaten
+    # by a phone shape). \b here compares digits to adjacents — ASCII-safe;
+    # see rules/phrases.py for the \b dialect note
+    (
+        "ip",
+        "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b",
+        "<IP>",
+        "[0-9]\\.[0-9]+\\.[0-9]",
+    ),
+    # 3c. credit-card-shaped 4x4 digit groups — BEFORE phones (the bare
+    # 3-4 phone shape would otherwise eat the middle of a card number)
+    (
+        "cc",
+        "\\b[0-9]{4}([- ][0-9]{4}){3}\\b",
+        "<CC>",
+        "[0-9]{4}[- ][0-9]{4}[- ]",
+    ),
     # 4. phone numbers — explicit shapes only (international +CC with 2-4
     # digit groups, NANP 3-3-4, or bare 3-4) so dates / number lists survive
     (

@@ -64,3 +64,42 @@ def test_scrub_null_safe(spark):
     df = spark.createDataFrame([(None,)], "text string")
     assert df.select(scrub_expr("text")).collect()[0][0] is None
     assert scrub_text(None) == ""
+
+
+IP_CC_CASES = [
+    ("server at 10.0.42.7 is down", "server at <IP> is down"),
+    ("card 4111 1111 1111 1111 charged", "card <CC> charged"),
+    ("card 4111-1111-1111-1111 charged", "card <CC> charged"),
+    # version strings survive (only 4 dotted groups scrub)
+    ("upgrade to 1.2.3 now", "upgrade to 1.2.3 now"),
+    # 5-group dotted runs: first 4 groups mask (no lookaround in the
+    # portable dialect to forbid a trailing dot) — over-masking, accepted
+    ("oid 1.2.3.4.5 becomes", "oid <IP>.5 becomes"),
+    # phone shapes still work after the reorder
+    ("Call (212) 555-0147 about 192.168.0.1", "Call <PHONE> about <IP>"),
+]
+
+
+def test_scrub_ip_and_cc():
+    for raw, expected in IP_CC_CASES:
+        assert scrub_text(raw) == expected, raw
+
+
+def test_scrub_ip_cc_spark_parity(spark):
+    df = spark.createDataFrame([(raw,) for raw, _ in IP_CC_CASES], "text string")
+    got = [r[0] for r in df.select(scrub_expr("text")).collect()]
+    assert got == [exp for _, exp in IP_CC_CASES]
+
+
+def test_scrub_ip_cc_duckdb_parity():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("create table t(i int, s varchar)")
+    con.executemany(
+        "insert into t values (?, ?)",
+        [(i, raw) for i, (raw, _) in enumerate(IP_CC_CASES)],
+    )
+    rows = con.sql(f"select i, {scrub_sql('s')} from t order by i").fetchall()
+    for i, got in rows:
+        assert got == IP_CC_CASES[i][1], IP_CC_CASES[i][0]
