@@ -1146,6 +1146,75 @@ def sql_minhash_pairs():
     """
 
 
+def q_minhash_dedup_kept(spark, sf_dir):
+    """The COMPLETE fuzzy-dedup operator end to end: signatures → LSH
+    candidates → Jaccard verify (>= 0.2) → transitive closure → keep
+    min-id per component. The oracle replays every stage including the
+    recursive closure — the strongest single check of the dedup family."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(
+        docs, "doc_id", "text", min_jaccard=0.2, num_perm=8, shingle_n=3,
+        transitive=True, bands=4, rows_per_band=2,
+    )
+    return kept.select("doc_id")
+
+
+def sql_minhash_dedup_kept():
+    band_rows = []
+    for b in range(4):
+        c0, c1 = f"mh_{2*b}", f"mh_{2*b+1}"
+        band_rows.append(
+            f"select doc_id, {b} as band_idx,"
+            f" md5({c0} || '|' || {c1}) as band_key from sig"
+        )
+    bands = " union all ".join(band_rows)
+    mins = ", ".join(f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8))
+    return f"""
+        with recursive w as (
+          select doc_id, {WORDS_SQL} as words from documents
+        ), sh as (
+          select doc_id, unnest(list_distinct([
+            array_to_string(words[i:i+2], ' ')
+            for i in range(1, greatest(len(words) - 2, 0) + 1)
+          ])) as sh
+          from w
+        ), sig as (
+          select doc_id, {mins} from sh group by doc_id
+        ), bands as ({bands}),
+        cands as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from bands a join bands b
+            on a.band_idx = b.band_idx and a.band_key = b.band_key
+           and a.doc_id < b.doc_id
+        ), sizes as (
+          select doc_id, count(*) as n from sh group by doc_id
+        ), pairs as (
+          select c.id_a, c.id_b from (
+            select k.id_a, k.id_b, count(*) as common
+            from cands k
+            join sh a on a.doc_id = k.id_a
+            join sh b on b.doc_id = k.id_b and b.sh = a.sh
+            group by 1, 2
+          ) c
+          join sizes sa on sa.doc_id = c.id_a
+          join sizes sb on sb.doc_id = c.id_b
+          where c.common / (sa.n + sb.n - c.common)::double >= 0.2
+        ), edges as (
+          select id_a as src, id_b as dst from pairs
+          union
+          select id_b, id_a from pairs
+        ), r as (
+          select src as node, src as reach from edges
+          union
+          select r.node, e.dst from r join edges e on e.src = r.reach
+        ), losers as (
+          select node from r group by node having min(reach) != node
+        )
+        select doc_id from documents
+        where doc_id not in (select node from losers)
+    """
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash32(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -2328,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keyfirst": q_dedup_keyfirst,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_minhash_kept": q_minhash_dedup_kept,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_transitive_closure": q_dedup_closure,
@@ -2399,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_pairs": sql_minhash_pairs(),
+        "dedup_minhash_kept": sql_minhash_dedup_kept(),
         "dedup_simhash": sql_simhash(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_transitive_closure": sql_dedup_closure(),

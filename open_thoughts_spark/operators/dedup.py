@@ -253,6 +253,8 @@ def minhash_dedup(
     num_perm: int = config.MINHASH_NUM_PERM,
     shingle_n: int = config.SHINGLE_SIZE,
     transitive: bool = True,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Drop every row whose duplicate component has a smaller id.
 
@@ -264,8 +266,23 @@ def minhash_dedup(
     clusters whose bridge is the max id — but it under-drops when two
     keepers are linked only through a higher-id bridge.
     """
+    # band geometry must cover exactly num_perm (bands × rows == perms);
+    # defaulting lsh_bands' config geometry with a custom num_perm would
+    # reference missing signature columns
+    if rows_per_band is None:
+        rows_per_band = config.MINHASH_ROWS_PER_BAND if bands is None else max(
+            num_perm // bands, 1
+        )
+    if bands is None:
+        bands = num_perm // rows_per_band
+    if bands * rows_per_band != num_perm:
+        raise ValueError(
+            f"bands({bands}) x rows_per_band({rows_per_band}) != num_perm({num_perm})"
+        )
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
-    cands = candidate_pairs(lsh_bands(sig, id_col), id_col)
+    cands = candidate_pairs(
+        lsh_bands(sig, id_col, bands=bands, rows_per_band=rows_per_band), id_col
+    )
     verified = jaccard_pairs(
         df, id_col, text_col, shingle_n, min_jaccard, pairs=cands
     )
