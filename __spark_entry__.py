@@ -1712,6 +1712,40 @@ SQL_EMBEDDING_NEARDUP_LSH = """
 """
 
 
+def q_domain_extract_frequency(spark, sf_dir):
+    """WebInstruct domain shape end to end: derive page URLs, extract the
+    host with a portable regex (Spark parse_url has no DuckDB twin), count
+    per domain, keep frequent ones (count_domains_per_shard →
+    sum_and_filter, utils.py:122-167) — Catalyst's partial/final agg does
+    the reference's two-phase by itself."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    domain = F.regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+    return (
+        docs.select(domain.alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_pages"))
+        .filter(F.col("n_pages") >= 10)
+    )
+
+
+SQL_DOMAIN_EXTRACT_FREQUENCY = """
+    with u as (
+      select 'https://host' || (doc_id % 23)::varchar || '.example.org/p/'
+             || doc_id::varchar as url
+      from documents
+    )
+    select regexp_extract(url, '^[a-z]+://([^/]+)', 1) as domain,
+      count(*) as n_pages
+    from u group by 1 having count(*) >= 10
+"""
+
+
 def q_domain_frequency(spark, sf_dir):
     """Two-phase count + HAVING (WebInstruct domain-frequency shape)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2412,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "domain_frequency_filter": q_domain_frequency,
+        "domain_extract_frequency": q_domain_extract_frequency,
         "conv_full_text": q_conv_full_text,
         "conv_instruction_response": q_conv_instruction_response,
         "orders_uniform_sample": q_uniform_sample,
@@ -2482,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
         "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
         "domain_frequency_filter": SQL_DOMAIN_FREQUENCY,
+        "domain_extract_frequency": SQL_DOMAIN_EXTRACT_FREQUENCY,
         "conv_full_text": SQL_CONV_FULL_TEXT,
         "conv_instruction_response": SQL_CONV_INSTRUCTION_RESPONSE,
         "orders_uniform_sample": SQL_UNIFORM_SAMPLE,
