@@ -761,17 +761,19 @@ def q_gopher_repetition_filter(spark, sf_dir):
     from open_thoughts_spark.rules.gopher import with_repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
-    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
     line = F.substring(F.col("text"), 1, 40)
     nl = F.lit("\n")
+    para = F.lit("\n\n")
     loop3 = F.concat_ws(
         " ",
         *([F.substring(F.col("text"), 1, 11)] * 12),
     )
     text = (
         # null-propagating concat (like SQL ||), NOT null-skipping concat_ws
-        F.when(m3 == 0, F.concat(line, nl, line, nl, line, nl, F.col("text")))
-        .when(m3 == 1, loop3)
+        F.when(m4 == 0, F.concat(line, nl, line, nl, line, nl, F.col("text")))
+        .when(m4 == 1, loop3)
+        .when(m4 == 2, F.concat(line, para, line, para, line, para, F.col("text")))
         .otherwise(F.col("text"))
     )
     out = with_repetition_stats(
@@ -788,11 +790,14 @@ def q_gopher_repetition_filter(spark, sf_dir):
 
 def sql_gopher_repetition_filter():
     text = (
-        "case when doc_id % 3 = 0 then substr(text, 1, 40) || chr(10) ||"
+        "case when doc_id % 4 = 0 then substr(text, 1, 40) || chr(10) ||"
         " substr(text, 1, 40) || chr(10) || substr(text, 1, 40) || chr(10) || text"
-        " when doc_id % 3 = 1 then concat_ws(' ', "
+        " when doc_id % 4 = 1 then concat_ws(' ', "
         + ", ".join(["substr(text, 1, 11)"] * 12)
-        + ") else text end"
+        + ") when doc_id % 4 = 2 then substr(text, 1, 40) || chr(10) || chr(10) ||"
+        " substr(text, 1, 40) || chr(10) || chr(10) || substr(text, 1, 40)"
+        " || chr(10) || chr(10) || text"
+        " else text end"
     )
     return f"""
         with d as (
@@ -1070,23 +1075,42 @@ def q_minhash_signatures(spark, sf_dir):
 WORDS_SQL = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
 
 
-def sql_minhash_signatures():
-    mins = ",\n      ".join(
-        f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8)
+def minhash_cte_sql(num_perm: int = 8) -> str:
+    """Shared CTE prefix (w → sh → sig) for every minhash oracle — ONE
+    source of truth for the shingle formulation and signature hashing
+    (three queries previously duplicated this text; code-review r2)."""
+    mins = ", ".join(
+        f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(num_perm)
     )
-    return f"""
-        with w as (
+    return f"""w as (
           select doc_id, {WORDS_SQL} as words from documents
         ), sh as (
-          select doc_id, distinct_sh as sh from (
-            select doc_id, unnest(list_distinct([
-              array_to_string(words[i:i+2], ' ')
-              for i in range(1, greatest(len(words) - 2, 0) + 1)
-            ])) as distinct_sh
-            from w
-          )
+          select doc_id, unnest(list_distinct([
+            array_to_string(words[i:i+2], ' ')
+            for i in range(1, greatest(len(words) - 2, 0) + 1)
+          ])) as sh
+          from w
+        ), sig as (
+          select doc_id, {mins} from sh group by doc_id
+        )"""
+
+
+def band_rows_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    pieces = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
         )
-        select doc_id, {mins} from sh group by doc_id
+        pieces.append(
+            f"select doc_id, {b} as band_idx, md5({cols}) as band_key from sig"
+        )
+    return " union all ".join(pieces)
+
+
+def sql_minhash_signatures():
+    return f"""
+        with {minhash_cte_sql()}
+        select * from sig
     """
 
 
@@ -1103,27 +1127,8 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def sql_minhash_pairs():
-    band_rows = []
-    for b in range(4):
-        c0, c1 = f"mh_{2*b}", f"mh_{2*b+1}"
-        band_rows.append(
-            f"select doc_id, {b} as band_idx, md5({c0} || '|' || {c1}) as band_key from sig"
-        )
-    bands = " union all ".join(band_rows)
     return f"""
-        with w as (
-          select doc_id, {WORDS_SQL} as words from documents
-        ), sh as (
-          select doc_id, unnest(list_distinct([
-            array_to_string(words[i:i+2], ' ')
-            for i in range(1, greatest(len(words) - 2, 0) + 1)
-          ])) as sh
-          from w
-        ), sig as (
-          select doc_id,
-            {", ".join(f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8))}
-          from sh group by doc_id
-        ), bands as ({bands}),
+        with {minhash_cte_sql()}, bands as ({band_rows_sql()}),
         cands as (
           select distinct a.doc_id as id_a, b.doc_id as id_b
           from bands a join bands b
@@ -1160,27 +1165,8 @@ def q_minhash_dedup_kept(spark, sf_dir):
 
 
 def sql_minhash_dedup_kept():
-    band_rows = []
-    for b in range(4):
-        c0, c1 = f"mh_{2*b}", f"mh_{2*b+1}"
-        band_rows.append(
-            f"select doc_id, {b} as band_idx,"
-            f" md5({c0} || '|' || {c1}) as band_key from sig"
-        )
-    bands = " union all ".join(band_rows)
-    mins = ", ".join(f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8))
     return f"""
-        with recursive w as (
-          select doc_id, {WORDS_SQL} as words from documents
-        ), sh as (
-          select doc_id, unnest(list_distinct([
-            array_to_string(words[i:i+2], ' ')
-            for i in range(1, greatest(len(words) - 2, 0) + 1)
-          ])) as sh
-          from w
-        ), sig as (
-          select doc_id, {mins} from sh group by doc_id
-        ), bands as ({bands}),
+        with recursive {minhash_cte_sql()}, bands as ({band_rows_sql()}),
         cands as (
           select distinct a.doc_id as id_a, b.doc_id as id_b
           from bands a join bands b

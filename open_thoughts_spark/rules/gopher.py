@@ -104,6 +104,7 @@ def with_gopher_decision(df: DataFrame, text_col: str = "text") -> DataFrame:
 # --- repetition filters (the MassiveText/Gopher repetition family) ---
 
 MAX_DUP_LINE_FRAC = 0.3
+MAX_DUP_PARAGRAPH_FRAC = 0.3  # independent knob; coincidentally equal
 MAX_TOP_BIGRAM_FRAC = 0.2
 
 
@@ -154,7 +155,7 @@ def with_repetition_stats(
     return out.withColumn(
         "keep_repetition",
         (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
-        & (F.col("dup_paragraph_frac") <= MAX_DUP_LINE_FRAC)
+        & (F.col("dup_paragraph_frac") <= MAX_DUP_PARAGRAPH_FRAC)
         & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC),
     )
 

@@ -43,20 +43,22 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
     # 3. emails
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "@"),
     # 3b. IPv4 addresses — BEFORE phones (digit-dot runs must not be eaten
-    # by a phone shape). \b here compares digits to adjacents — ASCII-safe;
-    # see rules/phrases.py for the \b dialect note
+    # by a phone shape). Boundaries are CONSUMED character classes
+    # re-inserted via $1/$4, not \b: Java/Python \b is Unicode-word-based
+    # while RE2's is ASCII, so \b next to CJK digits diverges. Excluding
+    # '.' from the boundary also makes 5-group dotted runs survive intact.
     (
         "ip",
-        "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b",
-        "<IP>",
+        "(^|[^0-9.])([0-9]{1,3}(\\.[0-9]{1,3}){3})([^0-9.]|$)",
+        "$1<IP>$4",
         "[0-9]\\.[0-9]+\\.[0-9]",
     ),
     # 3c. credit-card-shaped 4x4 digit groups — BEFORE phones (the bare
     # 3-4 phone shape would otherwise eat the middle of a card number)
     (
         "cc",
-        "\\b[0-9]{4}([- ][0-9]{4}){3}\\b",
-        "<CC>",
+        "(^|[^0-9])([0-9]{4}([- ][0-9]{4}){3})([^0-9]|$)",
+        "$1<CC>$4",
         "[0-9]{4}[- ][0-9]{4}[- ]",
     ),
     # 4. phone numbers — explicit shapes only (international +CC with 2-4
@@ -88,8 +90,14 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
 ]
 
 # default flags: Java's \b is Unicode-aware like Python's default (JDK
-# quirk — see rules/phrases.py), so the compiled patterns match Spark exactly
-_COMPILED = [(re.compile(p), r) for _, p, r, _g in SCRUB_STEPS]
+# quirk — see rules/phrases.py), so the compiled patterns match Spark
+# exactly. Replacement strings are stored in Spark's $N syntax; Python and
+# DuckDB use \N — translated here (group semantics are identical).
+def _py_repl(repl: str) -> str:
+    return re.sub(r"\$(\d)", r"\\\1", repl)
+
+
+_COMPILED = [(re.compile(p), _py_repl(r)) for _, p, r, _g in SCRUB_STEPS]
 
 
 def scrub_expr(col: Column | str) -> Column:
@@ -124,10 +132,13 @@ def scrub_text(text: str | None) -> str:
 
 def scrub_sql(col_name: str) -> str:
     """DuckDB SQL expression applying the same chain (for oracle_sql parity)."""
+    import re as _re
+
     expr = col_name
     for _, pattern, repl, _guard in SCRUB_STEPS:
         p = pattern.replace("'", "''")
-        r = repl.replace("'", "''")
+        # DuckDB RE2 replacement backrefs are \N (Spark uses $N)
+        r = _re.sub(r"\$(\d)", r"\\\1", repl).replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return expr
 

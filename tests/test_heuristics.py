@@ -199,3 +199,32 @@ def test_gopher_rules_fire_individually(spark):
     assert dec[5] == "non_alpha_words"
     assert dec[6] == "stop_words"
     assert dec[7] == "mean_word_length"
+
+
+def test_repetition_stats_paragraphs_and_split_semantics(spark):
+    """Code-review r2: dup_paragraph_frac had no discriminating coverage;
+    also pin the '\\n\\n\\n' run split (regex vs literal must agree)."""
+    import duckdb
+
+    from open_thoughts_spark.rules.gopher import with_repetition_stats
+
+    rows = [
+        (1, "para one\n\npara one\n\npara two"),     # 1 dup of 3 paras
+        (2, "a\n\n\nb"),                              # '\n\n\n' run edge
+        (3, "unique one\n\nunique two\n\nunique three"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (round(r["dup_paragraph_frac"], 6), r["keep_repetition"])
+           for r in with_repetition_stats(df, "id").collect()}
+    assert got[1] == (round(1 / 3, 6), False)   # 0.333 > 0.3 -> drop
+    assert got[3] == (0.0, True)
+    # cross-engine: Spark regex split('\n\n') on "a\n\n\nb" == DuckDB literal
+    con = duckdb.connect()
+    duck = con.execute(
+        "select string_split(?, chr(10) || chr(10))", ["a\n\n\nb"]
+    ).fetchone()[0]
+    spark_parts = df.filter("id = 2").select(
+        F.split("text", "\\n\\n")
+    ).collect()[0][0]
+    assert spark_parts == duck == ["a", "\nb"]
+    assert got[2][0] == 0.0

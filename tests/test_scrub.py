@@ -72,9 +72,15 @@ IP_CC_CASES = [
     ("card 4111-1111-1111-1111 charged", "card <CC> charged"),
     # version strings survive (only 4 dotted groups scrub)
     ("upgrade to 1.2.3 now", "upgrade to 1.2.3 now"),
-    # 5-group dotted runs: first 4 groups mask (no lookaround in the
-    # portable dialect to forbid a trailing dot) — over-masking, accepted
-    ("oid 1.2.3.4.5 becomes", "oid <IP>.5 becomes"),
+    # 5-group dotted runs survive intact: '.' is excluded from the
+    # consumed boundary class, so no partial masking
+    ("oid 1.2.3.4.5 stays", "oid 1.2.3.4.5 stays"),
+    # CJK-adjacent IPs mask identically in all three engines (consumed
+    # boundary classes, not \b — RE2's ASCII \b would diverge here)
+    ("地址10.0.0.7上有", "地址<IP>上有"),
+    # adjacent IPs one space apart: the first match consumes the space,
+    # so the second survives — consistent across engines, documented
+    ("pair 10.0.0.1 10.0.0.2 end", "pair <IP> 10.0.0.2 end"),
     # phone shapes still work after the reorder
     ("Call (212) 555-0147 about 192.168.0.1", "Call <PHONE> about <IP>"),
 ]
