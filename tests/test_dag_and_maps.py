@@ -264,3 +264,15 @@ def test_chat_classifier_and_list_maps(spark):
     assert 1 <= len(exploded) <= 3
     assert all(r["item"].startswith("item-") for r in exploded)
     assert all(r["request"] == "list three fruits" for r in exploded)
+
+
+def test_example_yaml_pipeline_runs(spark):
+    """The checked-in examples/ pipeline must keep parsing and running."""
+    from open_thoughts_spark.pipeline.dag import parse_dag, parse_yaml_config, run_dag
+
+    dag = parse_dag(parse_yaml_config("examples/quality_filter_pipeline.yaml"))
+    outs = run_dag(spark, dag, base_path="/root/testdata/sf0.001")
+    df = outs["final"]
+    assert df.columns == ["doc_id", "lang", "drop_reason", "scrubbed_text"]
+    assert df.count() > 0
+    assert df.filter("drop_reason is not null").count() == 0  # kept only
