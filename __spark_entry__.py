@@ -2270,6 +2270,75 @@ SQL_EVENTS_JSON_EXTRACT = """
 """
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation hierarchy (all subsets of the grouping keys) —
+    completes the agg-hierarchy surface beside ROLLUP."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 5).alias("user_bucket")
+    return (
+        ev.select("event_type", bucket, "value")
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+    select event_type, user_id % 5 as user_bucket,
+      count(*) as n_events,
+      cast(sum(cast(round(value*100) as bigint)) as bigint) as value_cents,
+      cast(grouping(event_type, user_id % 5) as bigint) as gid
+    from events
+    group by cube(event_type, user_id % 5)
+"""
+
+
+def q_customers_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (multiplicity-preserving set op): per-customer order
+    months present in both 1995 and 1996, keeping duplicate counts."""
+    o = _t(spark, sf_dir, "orders")
+    m95 = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    m96 = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    return m95.intersectAll(m96)
+
+
+SQL_CUSTOMERS_INTERSECT_ALL = """
+    select o_custkey, month(o_orderdate) as m from orders
+    where year(o_orderdate) = 1995
+    intersect all
+    select o_custkey, month(o_orderdate) from orders
+    where year(o_orderdate) = 1996
+"""
+
+
+def q_customers_except_all(spark, sf_dir):
+    """EXCEPT ALL: 1995 order months minus 1996's, multiplicity-aware."""
+    o = _t(spark, sf_dir, "orders")
+    m95 = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    m96 = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    return m95.exceptAll(m96)
+
+
+SQL_CUSTOMERS_EXCEPT_ALL = """
+    select o_custkey, month(o_orderdate) as m from orders
+    where year(o_orderdate) = 1995
+    except all
+    select o_custkey, month(o_orderdate) from orders
+    where year(o_orderdate) = 1996
+"""
+
+
 def q_customers_intersect_years(spark, sf_dir):
     """INTERSECT set op: customers active in both 1995 and 1996."""
     o = _t(spark, sf_dir, "orders")
@@ -2452,6 +2521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "customers_intersect_years": q_customers_intersect_years,
         "customers_except_years": q_customers_except_years,
+        "customers_intersect_all": q_customers_intersect_all,
+        "customers_except_all": q_customers_except_all,
+        "events_cube": q_events_cube,
         "dedup_levenshtein_pairs": q_levenshtein_pairs,
         "majority_vote_per_user": q_majority_vote,
         "k_shortest_per_lang": q_k_shortest,
@@ -2518,6 +2590,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
         "customers_intersect_years": SQL_CUSTOMERS_INTERSECT,
         "customers_except_years": SQL_CUSTOMERS_EXCEPT,
+        "customers_intersect_all": SQL_CUSTOMERS_INTERSECT_ALL,
+        "customers_except_all": SQL_CUSTOMERS_EXCEPT_ALL,
+        "events_cube": SQL_EVENTS_CUBE,
         "dedup_levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
         "majority_vote_per_user": SQL_MAJORITY_VOTE,
         "k_shortest_per_lang": SQL_K_SHORTEST,

@@ -175,6 +175,16 @@ def uniform_sample_fixed(
     )
 
 
+def uniform_sample_limited(
+    df: DataFrame, n: int, key_cols: list[str], salt: str = "sample"
+) -> DataFrame:
+    """commons.py:583-603 uniform_sample_limited: like uniform_sample_fixed
+    but tolerant of small inputs — takes min(n, count) rows (the fixed
+    variant's LIMIT already does exactly that in Spark, so this is an
+    alias with the reference's name for API parity)."""
+    return uniform_sample_fixed(df, n, key_cols, salt)
+
+
 def sample_fraction_deterministic(
     df: DataFrame, fraction: float, key_cols: list[str], salt: str = "frac"
 ) -> DataFrame:
