@@ -317,11 +317,86 @@ def explode_list_map(df: DataFrame, out_col: str = "item") -> DataFrame:
     ).drop("items_json")
 
 
+# --- critic / ranker / fuser (the LLM-ensemble trio: critique N candidate
+# responses, rank them, fuse them into one — critic_map.py / ranker_map.py /
+# fuser_map.py; candidates arrive as a JSON array column) ---
+
+def _candidates(chunk: pd.DataFrame) -> pd.Series:
+    return chunk["responses_json"].fillna("[]")
+
+
+CRITIC_MAP = RichMap(
+    name="critic",
+    input_cols=["query", "responses_json"],
+    build_prompt=lambda c: (
+        "You are a critical evaluator. Critique each candidate response to "
+        "the query.\nQuery: " + c["query"].fillna("")
+        + "\nCandidates: " + _candidates(c)
+    ),
+    parse_response=lambda raw: pd.DataFrame({"critique": raw.fillna("")}),
+    out_schema="`critique` string",
+    mock=lambda p: p.fillna("").map(lambda x: f"critique [{_digest(x)}]"),
+)
+
+
+def _ranker_mock(prompts: pd.Series) -> pd.Series:
+    """Actually ranks: candidates ordered by (length, text) — deterministic
+    and meaningful; emits a JSON list of 0-based indices."""
+
+    def rank(p: str) -> str:
+        cands = json.loads(p.split("Candidates: ", 1)[-1] or "[]")
+        order = sorted(range(len(cands)), key=lambda i: (len(cands[i]), cands[i]))
+        return json.dumps(order)
+
+    return prompts.fillna("").map(rank)
+
+
+RANKER_MAP = RichMap(
+    name="ranker",
+    input_cols=["query", "responses_json"],
+    build_prompt=lambda c: (
+        "Rank the candidate responses to the query best-first; output a "
+        "JSON list of 0-based indices.\nQuery: " + c["query"].fillna("")
+        + "\nCandidates: " + _candidates(c)
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {"ranking_json": raw.fillna("[]")}
+    ),
+    out_schema="`ranking_json` string",
+    mock=_ranker_mock,
+)
+
+
+def _fuser_mock(prompts: pd.Series) -> pd.Series:
+    """Fuses deterministically: longest candidate + a provenance tag."""
+
+    def fuse(p: str) -> str:
+        cands = json.loads(p.split("Candidates: ", 1)[-1] or "[]")
+        best = max(cands, key=len) if cands else ""
+        return f"{best} [fused {_digest(p)}]"
+
+    return prompts.fillna("").map(fuse)
+
+
+FUSER_MAP = RichMap(
+    name="fuser",
+    input_cols=["query", "responses_json"],
+    build_prompt=lambda c: (
+        "Fuse the candidate responses into one best answer.\nQuery: "
+        + c["query"].fillna("") + "\nCandidates: " + _candidates(c)
+    ),
+    parse_response=lambda raw: pd.DataFrame({"fused_response": raw.fillna("")}),
+    out_schema="`fused_response` string",
+    mock=_fuser_mock,
+)
+
+
 MAPS: dict[str, RichMap] = {
     m.name: m
     for m in (
         JUDGE_MAP, DIFFICULTY_MAP, EXTRACT_ANSWER_MAP, REASON_MAP,
         CHAT_MAP, BINARY_CLASSIFIER_MAP, LIST_MAP,
+        CRITIC_MAP, RANKER_MAP, FUSER_MAP,
     )
 }
 

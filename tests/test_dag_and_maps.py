@@ -276,3 +276,22 @@ def test_example_yaml_pipeline_runs(spark):
     assert df.columns == ["doc_id", "lang", "drop_reason", "scrubbed_text"]
     assert df.count() > 0
     assert df.filter("drop_reason is not null").count() == 0  # kept only
+
+
+def test_critic_ranker_fuser_maps(spark):
+    import json
+
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    df = spark.createDataFrame(
+        [("what is 2+2", json.dumps(["four", "the answer is four", "4"]))],
+        "query string, responses_json string",
+    )
+    crit = apply_map(df, MAPS["critic"]).collect()[0]
+    assert crit["critique"].startswith("critique [")
+
+    ranked = apply_map(df, MAPS["ranker"]).collect()[0]
+    assert json.loads(ranked["ranking_json"]) == [2, 0, 1]  # by length, text
+
+    fused = apply_map(df, MAPS["fuser"]).collect()[0]
+    assert fused["fused_response"].startswith("the answer is four [fused ")
