@@ -1705,9 +1705,12 @@ def q_domain_extract_frequency(spark, sf_dir):
     sum_and_filter, utils.py:122-167) — Catalyst's partial/final agg does
     the reference's two-phase by itself."""
     docs = _t(spark, sf_dir, "documents")
+    # modulus 61 on 500 fixture docs → 12 domains at 9 pages, 49 at 8, so
+    # the >= 9 threshold actually discriminates in the gate (a 23-domain
+    # variant passed every domain — vacuously green, code-review r2)
     url = F.concat(
         F.lit("https://host"),
-        (F.col("doc_id") % 23).cast("string"),
+        (F.col("doc_id") % 61).cast("string"),
         F.lit(".example.org/p/"),
         F.col("doc_id").cast("string"),
     )
@@ -1716,19 +1719,19 @@ def q_domain_extract_frequency(spark, sf_dir):
         docs.select(domain.alias("domain"))
         .groupBy("domain")
         .agg(F.count("*").alias("n_pages"))
-        .filter(F.col("n_pages") >= 10)
+        .filter(F.col("n_pages") >= 9)
     )
 
 
 SQL_DOMAIN_EXTRACT_FREQUENCY = """
     with u as (
-      select 'https://host' || (doc_id % 23)::varchar || '.example.org/p/'
+      select 'https://host' || (doc_id % 61)::varchar || '.example.org/p/'
              || doc_id::varchar as url
       from documents
     )
     select regexp_extract(url, '^[a-z]+://([^/]+)', 1) as domain,
       count(*) as n_pages
-    from u group by 1 having count(*) >= 10
+    from u group by 1 having count(*) >= 9
 """
 
 

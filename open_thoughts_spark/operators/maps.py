@@ -339,12 +339,26 @@ CRITIC_MAP = RichMap(
 )
 
 
+def _prompt_candidates(p: str) -> list[str]:
+    """Candidate list back out of a trio prompt. rsplit: the candidates are
+    the LAST marker occurrence, so a query containing the literal marker
+    can't confuse the slice; malformed JSON degrades to [] instead of
+    failing the whole mapInPandas task (code-review r2)."""
+    try:
+        cands = json.loads(p.rsplit("Candidates: ", 1)[-1] or "[]")
+    except (json.JSONDecodeError, ValueError):
+        return []
+    if not isinstance(cands, list):
+        return []
+    return [str(c) for c in cands]
+
+
 def _ranker_mock(prompts: pd.Series) -> pd.Series:
     """Actually ranks: candidates ordered by (length, text) — deterministic
     and meaningful; emits a JSON list of 0-based indices."""
 
     def rank(p: str) -> str:
-        cands = json.loads(p.split("Candidates: ", 1)[-1] or "[]")
+        cands = _prompt_candidates(p)
         order = sorted(range(len(cands)), key=lambda i: (len(cands[i]), cands[i]))
         return json.dumps(order)
 
@@ -371,7 +385,7 @@ def _fuser_mock(prompts: pd.Series) -> pd.Series:
     """Fuses deterministically: longest candidate + a provenance tag."""
 
     def fuse(p: str) -> str:
-        cands = json.loads(p.split("Candidates: ", 1)[-1] or "[]")
+        cands = _prompt_candidates(p)
         best = max(cands, key=len) if cands else ""
         return f"{best} [fused {_digest(p)}]"
 

@@ -47,28 +47,40 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
     # re-inserted via $1/$4, not \b: Java/Python \b is Unicode-word-based
     # while RE2's is ASCII, so \b next to CJK digits diverges. Excluding
     # '.' from the boundary also makes 5-group dotted runs survive intact.
+    # trailing boundary admits a sentence-final dot (". "/".<end>") but not
+    # ".<digit>", so 'connect to 10.0.0.1.' masks while 5-group dotted
+    # runs (OIDs, versions) survive untouched — all without lookaround
     (
         "ip",
-        "(^|[^0-9.])([0-9]{1,3}(\\.[0-9]{1,3}){3})([^0-9.]|$)",
+        "(^|[^0-9.])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$|[^0-9.]|$)",
         "$1<IP>$4",
         "[0-9]\\.[0-9]+\\.[0-9]",
     ),
     # 3c. credit-card-shaped 4x4 digit groups — BEFORE phones (the bare
-    # 3-4 phone shape would otherwise eat the middle of a card number)
+    # 3-4 phone shape would otherwise eat the middle of a card number).
+    # First digit restricted to [3-6] (Amex/Visa/MC/Discover ranges) so
+    # year lists ('1991 1992 1993 1994') survive; the trailing boundary
+    # rejects a separator+digit so 5-group digit runs stay intact
     (
         "cc",
-        "(^|[^0-9])([0-9]{4}([- ][0-9]{4}){3})([^0-9]|$)",
+        "(^|[^0-9])([3-6][0-9]{3}([- ][0-9]{4}){3})([- ][^0-9]|[- ]$|[^0-9 -]|$)",
         "$1<CC>$4",
         "[0-9]{4}[- ][0-9]{4}[- ]",
     ),
     # 4. phone numbers — explicit shapes only (international +CC with 2-4
     # digit groups, NANP 3-3-4, or bare 3-4) so dates / number lists survive
+    # consumed digit boundaries (re-inserted via $1/$3) stop the shapes
+    # from matching INSIDE longer digit runs — '1991 1992' is not a bare
+    # 3-4 phone (code-review r2); inner groups are non-capturing so the
+    # backref numbering stays fixed
     (
         "phone",
-        "(\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4})"
-        "|((\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
-        "|((\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})",
-        "<PHONE>",
+        "(^|[^0-9])("
+        "(?:\\+[0-9]{1,3}(?:[-. ][0-9]{2,4}){2,4})"
+        "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
+        "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})"
+        ")([^0-9]|$)",
+        "$1<PHONE>$3",
         "[0-9][0-9]",
     ),
     # 5. API-key-shaped tokens (sk-..., api_key=..., etc.)
@@ -131,14 +143,12 @@ def scrub_text(text: str | None) -> str:
 
 
 def scrub_sql(col_name: str) -> str:
-    """DuckDB SQL expression applying the same chain (for oracle_sql parity)."""
-    import re as _re
-
+    """DuckDB SQL expression applying the same chain (for oracle_sql
+    parity). DuckDB RE2 replacement backrefs use \\N like Python's re."""
     expr = col_name
     for _, pattern, repl, _guard in SCRUB_STEPS:
         p = pattern.replace("'", "''")
-        # DuckDB RE2 replacement backrefs are \N (Spark uses $N)
-        r = _re.sub(r"\$(\d)", r"\\\1", repl).replace("'", "''")
+        r = _py_repl(repl).replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return expr
 

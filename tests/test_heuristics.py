@@ -212,12 +212,20 @@ def test_repetition_stats_paragraphs_and_split_semantics(spark):
         (1, "para one\n\npara one\n\npara two"),     # 1 dup of 3 paras
         (2, "a\n\n\nb"),                              # '\n\n\n' run edge
         (3, "unique one\n\nunique two\n\nunique three"),
+        # DISCRIMINATING for the paragraph conjunct: duplicate multi-line
+        # paragraphs whose dup_line_frac stays <= 0.3 — only the paragraph
+        # arm can fail this row
+        (4, "a\nb\n\na\nb\n\nc\nd\ne\nf\ng\nh\ni\nj"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: (round(r["dup_paragraph_frac"], 6), r["keep_repetition"])
            for r in with_repetition_stats(df, "id").collect()}
     assert got[1] == (round(1 / 3, 6), False)   # 0.333 > 0.3 -> drop
     assert got[3] == (0.0, True)
+    row4 = with_repetition_stats(df.filter("id = 4"), "id").collect()[0]
+    assert round(row4["dup_line_frac"], 6) <= 0.3
+    assert round(row4["dup_paragraph_frac"], 6) == round(1 / 3, 6)
+    assert row4["keep_repetition"] is False    # paragraph arm alone drops it
     # cross-engine: Spark regex split('\n\n') on "a\n\n\nb" == DuckDB literal
     con = duckdb.connect()
     duck = con.execute(

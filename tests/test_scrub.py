@@ -83,6 +83,16 @@ IP_CC_CASES = [
     ("pair 10.0.0.1 10.0.0.2 end", "pair <IP> 10.0.0.2 end"),
     # phone shapes still work after the reorder
     ("Call (212) 555-0147 about 192.168.0.1", "Call <PHONE> about <IP>"),
+    # sentence-final IPs mask (trailing '.<non-digit>' / '.<end>' allowed)
+    ("connect to 10.0.0.1.", "connect to <IP>."),
+    ("see 10.0.0.1. Next point", "see <IP>. Next point"),
+    # year lists survive: cards must start with [3-6]
+    ("the years 1991 1992 1993 1994 saw", "the years 1991 1992 1993 1994 saw"),
+    # 5-group digit runs: the trailing guard stops a groups-1-4 match, but
+    # the scan then matches groups 2-5 (leading boundary is the space; no
+    # lookbehind in the portable dialect) — over-masking toward safety,
+    # consistent across engines
+    ("ids 4234 5678 9012 3456 7890 end", "ids 4234 <CC> end"),
 ]
 
 
