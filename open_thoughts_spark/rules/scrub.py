@@ -29,19 +29,22 @@ from pyspark.sql import functions as F
 
 _WS = " \\t\\n\\x0B\\f\\r"  # explicit ASCII whitespace (dialect-portable)
 
-# Ordered scrub steps: (name, pattern, replacement, guard). Order is
-# semantics. ``guard`` is an optional cheap regex that is NECESSARY for the
-# pattern to match: rows failing the guard skip the (expensive) global
-# replace entirely — a pure optimization, the output is identical because a
-# skipped step would have been an identity rewrite.
-SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
+# Ordered scrub steps: (name, pattern, replacement). Order is semantics.
+# Steps whose patterns CONSUME a boundary character (ip/cc/phone — boundaries
+# are matched classes re-inserted via $N, not zero-width \b, for cross-engine
+# parity) appear TWICE: a single left-to-right pass resumes scanning after
+# each match, so of two adjacent occurrences separated by one boundary char
+# the second has no leading boundary left and is missed. The first pass masks
+# every other occurrence in a run; the repeat pass sees each survivor
+# preceded by the re-inserted boundary (or the '<TAG> ' replacement) and
+# masks it — two passes are a fixpoint for arbitrarily long adjacent runs.
+SCRUB_STEPS: list[tuple[str, str, str]] = [
     # 1. strip non-printable control chars (WebInstruct/utils.py:16-21 analog)
-    ("controls", "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "", "[\\x00-\\x08\\x0E-\\x1F\\x7F]"),
-    # 2. collapse runs of whitespace to a single space (single spaces are
-    # already their own fixpoint → guard on non-space whitespace or runs)
-    ("whitespace", f"[{_WS}]+", " ", "[\\t\\n\\x0B\\f\\r]|  "),
+    ("controls", "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+    # 2. collapse runs of whitespace to a single space
+    ("whitespace", f"[{_WS}]+", " "),
     # 3. emails
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "@"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     # 3b. IPv4 addresses — BEFORE phones (digit-dot runs must not be eaten
     # by a phone shape). Boundaries are CONSUMED character classes
     # re-inserted via $1/$4, not \b: Java/Python \b is Unicode-word-based
@@ -54,7 +57,13 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
         "ip",
         "(^|[^0-9.])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$|[^0-9.]|$)",
         "$1<IP>$4",
-        "[0-9]\\.[0-9]+\\.[0-9]",
+    ),
+    # 3b-repeat: catch adjacent IPs whose leading boundary the first pass
+    # consumed (see header comment)
+    (
+        "ip2",
+        "(^|[^0-9.])([0-9]{1,3}(\\.[0-9]{1,3}){3})(\\.[^0-9]|\\.$|[^0-9.]|$)",
+        "$1<IP>$4",
     ),
     # 3c. credit-card-shaped 4x4 digit groups — BEFORE phones (the bare
     # 3-4 phone shape would otherwise eat the middle of a card number).
@@ -65,7 +74,12 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
         "cc",
         "(^|[^0-9])([3-6][0-9]{3}([- ][0-9]{4}){3})([- ][^0-9]|[- ]$|[^0-9 -]|$)",
         "$1<CC>$4",
-        "[0-9]{4}[- ][0-9]{4}[- ]",
+    ),
+    # 3c-repeat: adjacent-occurrence fixpoint pass
+    (
+        "cc2",
+        "(^|[^0-9])([3-6][0-9]{3}([- ][0-9]{4}){3})([- ][^0-9]|[- ]$|[^0-9 -]|$)",
+        "$1<CC>$4",
     ),
     # 4. phone numbers — explicit shapes only (international +CC with 2-4
     # digit groups, NANP 3-3-4, or bare 3-4) so dates / number lists survive
@@ -75,30 +89,37 @@ SCRUB_STEPS: list[tuple[str, str, str, str | None]] = [
     # backref numbering stays fixed
     (
         "phone",
-        "(^|[^0-9])("
+        "(^|[^0-9.\\-])("
         "(?:\\+[0-9]{1,3}(?:[-. ][0-9]{2,4}){2,4})"
         "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
         "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})"
         ")([^0-9]|$)",
         "$1<PHONE>$3",
-        "[0-9][0-9]",
+    ),
+    # 4-repeat: adjacent-occurrence fixpoint pass
+    (
+        "phone2",
+        "(^|[^0-9.\\-])("
+        "(?:\\+[0-9]{1,3}(?:[-. ][0-9]{2,4}){2,4})"
+        "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
+        "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})"
+        ")([^0-9]|$)",
+        "$1<PHONE>$3",
     ),
     # 5. API-key-shaped tokens (sk-..., api_key=..., etc.)
     (
         "key",
         "\\b(sk|pk|rk|api|key|token|secret)[-_][A-Za-z0-9]{8,}\\b",
         "<KEY>",
-        "[-_][A-Za-z0-9]{8}",
     ),
     # 6. toxicity masking (deterministic word list; word-boundary, ci)
     (
         "toxic",
         "(?i)\\b(damn|hell|idiot|stupid|moron|jackass)\\b",
         "<TOX>",
-        None,
     ),
     # 7. trim leading/trailing spaces (regex form so all engines agree)
-    ("trim", "^ +| +$", "", "^ | $"),
+    ("trim", "^ +| +$", ""),
 ]
 
 # default flags: Java's \b is Unicode-aware like Python's default (JDK
@@ -109,19 +130,20 @@ def _py_repl(repl: str) -> str:
     return re.sub(r"\$(\d)", r"\\\1", repl)
 
 
-_COMPILED = [(re.compile(p), _py_repl(r)) for _, p, r, _g in SCRUB_STEPS]
+_COMPILED = [(re.compile(p), _py_repl(r)) for _, p, r in SCRUB_STEPS]
 
 
 def scrub_expr(col: Column | str) -> Column:
     """Native Spark column expression applying the full scrub chain.
 
-    Each guarded step is CASE WHEN rlike(guard) THEN regexp_replace(...)
-    ELSE text — codegen short-circuits, so rows without PII/junk pay one
-    cheap search per step instead of a global replace scan."""
+    Deliberately a LINEAR chain of ``regexp_replace`` calls: an earlier
+    guarded variant (``when(rlike(guard), replace).otherwise(c)``) referenced
+    the previous step's expression three times, growing a ~3^n-node tree that
+    codegen'd ~10x slower than the plain chain (VERDICT r2). The unguarded
+    replace's scan cost ≈ the guard's rlike scan, so guards can't win."""
     c = F.col(col) if isinstance(col, str) else col
-    for _, pattern, repl, guard in SCRUB_STEPS:
-        replaced = F.regexp_replace(c, pattern, repl)
-        c = F.when(c.rlike(guard), replaced).otherwise(c) if guard else replaced
+    for _, pattern, repl in SCRUB_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
     return c
 
 
@@ -146,7 +168,7 @@ def scrub_sql(col_name: str) -> str:
     """DuckDB SQL expression applying the same chain (for oracle_sql
     parity). DuckDB RE2 replacement backrefs use \\N like Python's re."""
     expr = col_name
-    for _, pattern, repl, _guard in SCRUB_STEPS:
+    for _, pattern, repl in SCRUB_STEPS:
         p = pattern.replace("'", "''")
         r = _py_repl(repl).replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"

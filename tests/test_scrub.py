@@ -78,9 +78,13 @@ IP_CC_CASES = [
     # CJK-adjacent IPs mask identically in all three engines (consumed
     # boundary classes, not \b — RE2's ASCII \b would diverge here)
     ("地址10.0.0.7上有", "地址<IP>上有"),
-    # adjacent IPs one space apart: the first match consumes the space,
-    # so the second survives — consistent across engines, documented
-    ("pair 10.0.0.1 10.0.0.2 end", "pair <IP> 10.0.0.2 end"),
+    # adjacent IPs one space apart: the first pass consumes the separator,
+    # the repeat pass (SCRUB_STEPS 'ip2') masks the survivor — both masked
+    ("pair 10.0.0.1 10.0.0.2 end", "pair <IP> <IP> end"),
+    # three adjacent: pass 1 masks #1 and #3, the repeat pass masks #2
+    ("run 10.0.0.1 10.0.0.2 10.0.0.3 end", "run <IP> <IP> <IP> end"),
+    # adjacent phones both mask (ADVICE r2: '555-' used to leak)
+    ("call 555-123-4567 555-987-6543", "call <PHONE> <PHONE>"),
     # phone shapes still work after the reorder
     ("Call (212) 555-0147 about 192.168.0.1", "Call <PHONE> about <IP>"),
     # sentence-final IPs mask (trailing '.<non-digit>' / '.<end>' allowed)
