@@ -1953,6 +1953,59 @@ def sql_simhash_bandblock():
     """
 
 
+def q_simhash64_bandblock(spark, sf_dir):
+    """64-bit SimHash near-dup via 4x16-bit band blocking — the web-scale
+    band geometry (r2 verdict: 32-bit fp gives 8-bit band keys -> 256
+    buckets -> quadratic at 10^9 docs; 16-bit keys stay fine-grained).
+    The oracle is the UNBLOCKED all-pairs hamming<=3 truth over the same
+    64-bit fingerprint, so the gate proves the pigeonhole join is lossless."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash64_neardup_pairs(fp, "doc_id", max_hamming=3)
+
+
+def sql_simhash64():
+    def half_sums(expr, prefix):
+        return ",\n      ".join(
+            f"sum(case when ascii(substr({expr}, {j + 1}, 1)) % 2 = 1"
+            f" then 1 else -1 end) as {prefix}{j}"
+            for j in range(32)
+        )
+
+    def pack(prefix):
+        return " + ".join(
+            f"(case when {prefix}{j} > 0 then {2**j}::bigint else 0 end)"
+            for j in range(32)
+        )
+
+    return f"""
+        with w as (
+          select doc_id, unnest({WORDS_SQL}) as w
+          from documents
+        ), f as (select doc_id, w from w where w != ''),
+        s as (
+          select doc_id,
+            {half_sums("md5(w)", "l")},
+            {half_sums("md5(w || '#')", "h")}
+          from f group by doc_id
+        )
+        select doc_id, {pack("h")} as simhash_hi, {pack("l")} as simhash_lo
+        from s
+    """
+
+
+def sql_simhash64_bandblock():
+    return f"""
+        with fp as ({sql_simhash64()})
+        select a.doc_id as id_a, b.doc_id as id_b,
+          bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) as hamming
+        from fp a join fp b on a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+    """
+
+
 def q_embed_and_knn(spark, sf_dir):
     """End-to-end: embed documents (hermetic md5-BoW encoder UDF) then
     self-kNN. normalize=False keeps integer term counts, so every dot/norm
@@ -2515,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_first": q_events_dedup_first,
         "dedup_simhash_neardup": q_simhash_neardup,
         "dedup_simhash_bandblock": q_simhash_bandblock,
+        "dedup_simhash64_bandblock": q_simhash64_bandblock,
         "embed_docs_knn": q_embed_and_knn,
         "classifier_lang_filter": q_classifier_filter,
         "rouge_seed_filter": q_rouge_seed_filter,
@@ -2589,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_first": SQL_EVENTS_DEDUP_FIRST,
         "dedup_simhash_neardup": sql_simhash_neardup(),
         "dedup_simhash_bandblock": sql_simhash_bandblock(),
+        "dedup_simhash64_bandblock": sql_simhash64_bandblock(),
         "part_supplier_revenue": SQL_PART_SUPPLIER_REVENUE,
         "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
         "customers_intersect_years": SQL_CUSTOMERS_INTERSECT,

@@ -269,3 +269,35 @@ def test_minhash_dedup_transitive_vs_pairwise(spark):
     losers_pairwise = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
     assert losers_pairwise == {2}
     assert losers_closure == {1, 2}  # closure also drops the second half
+
+
+def test_simhash64_bandblock_lossless(spark):
+    """The 4x16-bit band join must find exactly the unblocked all-pairs
+    hamming<=3 truth (pigeonhole: 3 differing bits can't touch all 4 bands),
+    and near texts must sit closer than unrelated ones."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base.replace("river", w)) for i, w in
+            enumerate(["river", "creek", "stream", "river"])]
+    rows += [(10 + i, f"totally unrelated content number {i} about engines "
+              f"joins shuffles and partitions") for i in range(6)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    fp = dedup.simhash64(df, "id", "text").cache()
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash64_neardup_pairs(fp, "id", max_hamming=3).collect()
+    )
+    # unblocked truth computed driver-side from the fingerprints
+    rowsfp = {r["id"]: (r["simhash_hi"], r["simhash_lo"]) for r in fp.collect()}
+    ids = sorted(rowsfp)
+    truth = sorted(
+        (a, b, bin(rowsfp[a][0] ^ rowsfp[b][0]).count("1")
+         + bin(rowsfp[a][1] ^ rowsfp[b][1]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(rowsfp[a][0] ^ rowsfp[b][0]).count("1")
+        + bin(rowsfp[a][1] ^ rowsfp[b][1]).count("1") <= 3
+    )
+    assert got == truth
+    assert (0, 3, 0) in got  # exact dup pair at hamming 0
+    # both halves are within 32-bit range (portable bigint packing)
+    for hi, lo in rowsfp.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
