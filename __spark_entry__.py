@@ -1698,6 +1698,56 @@ SQL_EMBEDDING_NEARDUP_LSH = """
 """
 
 
+def q_embedding_neardup_banded(spark, sf_dir):
+    """Embedding near-dup pairs via BANDED LSH candidates (OR over 3 bands
+    of 2 sign bits) — the recall fix for the single-exact-bucket blocking
+    (ADVICE r2: all-12-bits agreement ≈ 0.28 recall at cosine 0.95). At the
+    fixture's 0.4 threshold the banded OR finds ~4-5x the pairs of a single
+    6-bit bucket; the DuckDB oracle replays the identical plane signs, band
+    keys and pair set, so the gate value-checks the banding itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_banded(
+        emb, "vec_id", "embedding", min_cosine=0.4, n_planes=6, bands=3
+    )
+
+
+SQL_EMBEDDING_NEARDUP_BANDED = """
+    with v as (
+      select vec_id, embedding::double[] as e,
+        list_transform(embedding::double[],
+                       x -> cast(trunc(x * 1000000) as bigint)) as q
+      from embeddings
+    ), w as (
+      select p, i,
+        ('0x' || substr(md5(p::varchar || '|' || i::varchar), 1, 8))::bigint
+          % 16 - 8 as wt
+      from range(6) t(p), range(64) d(i)
+    ), proj as (
+      select vec_id, p, sum(q[i + 1] * wt) as s from v, w group by 1, 2
+    ), bands as (
+      select vec_id, p // 2 as band_idx,
+        cast(sum(case when s > 0 then 1::bigint << (p % 2) else 0 end)
+             as bigint) as band_val
+      from proj group by 1, 2
+    ), cand as (
+      select distinct a.vec_id as id_a, b.vec_id as id_b
+      from bands a
+      join bands b on a.band_idx = b.band_idx and a.band_val = b.band_val
+                  and a.vec_id < b.vec_id
+    )
+    select c.id_a, c.id_b,
+      round(list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e))
+             * sqrt(list_dot_product(vb.e, vb.e))), 6) as cosine
+    from cand c
+    join v va on va.vec_id = c.id_a
+    join v vb on vb.vec_id = c.id_b
+    where round(list_dot_product(va.e, vb.e) /
+          (sqrt(list_dot_product(va.e, va.e))
+           * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.4
+"""
+
+
 def q_domain_extract_frequency(spark, sf_dir):
     """WebInstruct domain shape end to end: derive page URLs, extract the
     host with a portable regex (Spark parse_url has no DuckDB twin), count
@@ -2556,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top5": q_ann_ivf,
         "embedding_neardup_pairs": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "embedding_neardup_banded": q_embedding_neardup_banded,
         "domain_frequency_filter": q_domain_frequency,
         "domain_extract_frequency": q_domain_extract_frequency,
         "conv_full_text": q_conv_full_text,
@@ -2631,6 +2682,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce_top5": SQL_KNN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
         "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
+        "embedding_neardup_banded": SQL_EMBEDDING_NEARDUP_BANDED,
         "domain_frequency_filter": SQL_DOMAIN_FREQUENCY,
         "domain_extract_frequency": SQL_DOMAIN_EXTRACT_FREQUENCY,
         "conv_full_text": SQL_CONV_FULL_TEXT,

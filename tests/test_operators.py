@@ -301,3 +301,29 @@ def test_simhash64_bandblock_lossless(spark):
     # both halves are within 32-bit range (portable bigint packing)
     for hi, lo in rowsfp.values():
         assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_banded_lsh_recall_beats_single_bucket(spark):
+    """Banded OR candidates must recover (here: all of) the true pairs that
+    the old all-bits-agree single bucket missed (ADVICE r2 recall fix)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((25, 16))
+    # 25 true near-dup pairs: each vector and a tiny perturbation of it
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + 0.02 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = similarity.cosine_pairs(
+        df.withColumn("one", F.lit(1)), "vec_id", "embedding", 0.95, "one"
+    )
+    true_pairs = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    banded = similarity.cosine_pairs_banded(
+        df, "vec_id", "embedding", 0.95, n_planes=48, bands=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in banded.collect()}
+    assert got <= true_pairs  # exact verify: no false positives
+    assert len(true_pairs) >= 20
+    assert len(got) / len(true_pairs) >= 0.95  # ~0.997 expected recall
