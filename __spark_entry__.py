@@ -328,7 +328,7 @@ def q_events_session_window(spark, sf_dir):
 
 SQL_EVENTS_SESSION_WINDOW = """
     with g as (
-      select user_id, ts,
+      select user_id, ts, event_id,
         case when epoch_us(ts) - lag(epoch_us(ts))
                over (partition by user_id order by ts, event_id) is null
              or epoch_us(ts) - lag(epoch_us(ts))
@@ -338,7 +338,7 @@ SQL_EVENTS_SESSION_WINDOW = """
       from events
     ), s as (
       select user_id, ts,
-        sum(new_sess) over (partition by user_id order by ts
+        sum(new_sess) over (partition by user_id order by ts, event_id
                             rows between unbounded preceding and current row)
           as sid
       from g
@@ -1260,12 +1260,13 @@ def sql_ngram_jaccard():
 
 
 def q_dedup_closure(spark, sf_dir):
-    """Fuzzy-dedup transitive closure (union-find parity). Derives
-    bridge-shaped variants from each document — two disjoint halves (low
-    ids) plus the full text (highest id): each half is Jaccard-similar to
-    the full text but not to the other half, so single-pass pairwise
-    keep-min keeps BOTH halves while the reference's union-find closure
-    (deduplicate.py:37-49) groups all three. Output: (vid, component)."""
+    """Fuzzy-dedup transitive closure. Derives bridge-shaped variants from
+    each document — two disjoint halves (low ids) plus the full text
+    (highest id): each half is Jaccard-similar to the full text but not to
+    the other half, so single-pass pairwise keep-min keeps BOTH halves
+    while closure groups all three. NOTE: closure is this repo's semantic
+    upgrade — the reference (deduplicate.py:41-49) removes per matched
+    pair and would also keep both halves. Output: (vid, component)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     w = dedup.words_expr(F.col("text"))
     n2 = F.floor(F.size(w) / 2).cast("int")

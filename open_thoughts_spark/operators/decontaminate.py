@@ -137,6 +137,8 @@ def combined_contaminated_ids(
     eval_df: DataFrame,
     id_col: str,
     text_col: str,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
     n: int = config.DECONTAMINATE_NGRAM_N,
     min_jaccard: float = 0.5,
     num_perm: int = config.MINHASH_NUM_PERM,
@@ -147,10 +149,19 @@ def combined_contaminated_ids(
     """The reference's PRODUCTION decontamination mask: a row is
     contaminated if it shares an n-gram with the eval set OR is
     LSH-candidate + Jaccard-similar to an eval row — the two channels are
-    OR-combined like _A1_Source/utils.py:161-189. Returns distinct ids."""
-    ngram_ids = contaminated_ids(df, eval_df, id_col, text_col, n=n)
+    OR-combined like _A1_Source/utils.py:161-189. Returns distinct ids.
+
+    ``eval_id_col`` / ``eval_text_col`` default to the pool's column names
+    but real eval sets usually carry their own schema (ADVICE r2: the
+    previous signature silently bound the pool's id column as the eval id).
+    """
+    eic = eval_id_col or id_col
+    etc = eval_text_col or text_col
+    ngram_ids = contaminated_ids(
+        df, eval_df, id_col, text_col, eval_text_col=etc, n=n
+    )
     fuzzy_ids = _fuzzy_contaminated_ids(
-        df, eval_df, id_col, text_col, id_col,
+        df, eval_df, id_col, text_col, eic, eval_text_col=etc,
         min_jaccard=min_jaccard, num_perm=num_perm, bands=bands,
         rows_per_band=rows_per_band, shingle_n=shingle_n,
     )

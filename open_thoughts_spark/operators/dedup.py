@@ -184,8 +184,15 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(node, component) over the undirected pair graph; component = min
-    reachable node id — exactly the reference's union-find grouping
-    (/root/reference/open_thoughts/deduplicate.py:37-49), distributed.
+    reachable node id (distributed union-find-equivalent labeling).
+
+    Attribution note (ADVICE r2): the reference
+    (/root/reference/open_thoughts/deduplicate.py:41-49) does NOT close the
+    graph — it removes the non-min indices of each matched PAIR
+    independently, so for A~C, B~C, A≁B it keeps both A and B. Transitive
+    closure is this repo's deliberate semantic upgrade (a dup-of-a-dup is a
+    dup); use ``minhash_dedup(transitive=False)`` for pairwise reference
+    parity.
 
     Min-label propagation with per-round label compression (each node also
     adopts the label of its current label — pointer doubling), so chains
@@ -259,12 +266,13 @@ def minhash_dedup(
     """Drop every row whose duplicate component has a smaller id.
 
     ``transitive=True`` (default) closes the verified-pair graph with
-    ``connected_components`` and keeps the min id per component — matching
-    the reference's union-find grouping (deduplicate.py:37-49) exactly.
-    ``transitive=False`` is the single-pass variant (drop any id_b of a
-    verified pair): cheaper (no iteration) and equal on star-shaped
-    clusters whose bridge is the max id — but it under-drops when two
-    keepers are linked only through a higher-id bridge.
+    ``connected_components`` and keeps the min id per component — a
+    deliberate semantic UPGRADE over the reference, which removes non-min
+    indices per matched pair only (deduplicate.py:41-49, no closure): for
+    A~C, B~C, A≁B the reference keeps A and B, closure keeps only A.
+    ``transitive=False`` is the pairwise reference-parity variant (drop any
+    id_b of a verified pair): cheaper (no iteration) but keeps chain-linked
+    near-dups the closure would drop.
     """
     # band geometry must cover exactly num_perm (bands × rows == perms);
     # defaulting lsh_bands' config geometry with a custom num_perm would

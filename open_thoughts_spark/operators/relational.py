@@ -423,12 +423,9 @@ def upsample_to(df: DataFrame, n: int, order_by: list[str]) -> DataFrame:
     if full:
         parts.append(repeat_dataset(df, full))
     if rem:
-        w = Window.orderBy(*order_by)
-        parts.append(
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= rem)
-            .drop("_rn")
-        )
+        # TakeOrderedAndProject (per-partition top-k, no single-task global
+        # window) yields the same deterministic head (VERDICT r2 #4)
+        parts.append(df.orderBy(*order_by).limit(rem))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

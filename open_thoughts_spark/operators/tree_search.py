@@ -101,10 +101,14 @@ def beam_search(
         F.lit(0).cast("int").alias("level"),
         F.lit(0.0).alias("score"),
         F.lit(False).alias("is_terminal"),
+        # cumulative successors produced per prompt — carried ON the frontier
+        # (uniform across a prompt's beam rows) so budget retirement is a
+        # plain filter: no per-round collect / driver dict growing with the
+        # number of prompts (VERDICT r2 scale fix)
+        F.lit(0).cast("long").alias("expanded"),
     ).localCheckpoint(eager=True)
     terminals: DataFrame | None = None
     retired: DataFrame | None = None  # budget-exhausted prompts' frontiers
-    expanded_per_prompt: dict[int, int] = {}
 
     def _expand_runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,19 +118,14 @@ def beam_search(
     for _ in range(config.beam_depth):
         live = frontier.filter(~F.col("is_terminal"))
         if config.node_budget is not None:
-            over = [
-                pid for pid, n in expanded_per_prompt.items()
-                if n >= config.node_budget
-            ]
-            if over:
-                # keep the exhausted prompts' best nodes for the output —
-                # dropping them from `live` must not lose them entirely
-                newly_retired = live.filter(F.col("prompt_id").isin(over))
-                retired = (
-                    newly_retired if retired is None
-                    else retired.unionByName(newly_retired)
-                )
-                live = live.filter(~F.col("prompt_id").isin(over))
+            # keep the exhausted prompts' best nodes for the output —
+            # dropping them from `live` must not lose them entirely
+            newly_retired = live.filter(F.col("expanded") >= config.node_budget)
+            retired = (
+                newly_retired if retired is None
+                else retired.unionByName(newly_retired)
+            )
+            live = live.filter(F.col("expanded") < config.node_budget)
         # materialize the expansion ONCE: both the budget accounting (true
         # successor counts, pre-prune — the expensive calls the budget
         # bounds) and the prune read from this checkpoint
@@ -135,15 +134,30 @@ def beam_search(
         ).mapInPandas(_expand_runner, schema=_FRONTIER_SCHEMA).localCheckpoint(
             eager=True
         )
-        if config.node_budget is not None:
-            for r in successors.groupBy("prompt_id").count().collect():
-                expanded_per_prompt[r["prompt_id"]] = (
-                    expanded_per_prompt.get(r["prompt_id"], 0) + r["count"]
-                )
         pruned = topk_per_group(
             successors, ["prompt_id"], [F.desc("score"), F.asc("path")],
             config.beam_width,
-        ).drop("rank").localCheckpoint(eager=True)
+        ).drop("rank")
+        if config.node_budget is not None:
+            # new cumulative count = previous + successors produced this
+            # round; a small per-prompt agg + broadcastable join, fully
+            # distributed (replaces groupBy().collect() into a driver dict)
+            prev = live.select("prompt_id", "expanded").distinct()
+            counts = successors.groupBy("prompt_id").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            totals = prev.join(counts, on="prompt_id", how="left").select(
+                "prompt_id",
+                (F.col("expanded") + F.coalesce(F.col("_n"), F.lit(0))).alias(
+                    "expanded"
+                ),
+            )
+            pruned = pruned.join(totals, on="prompt_id", how="left").withColumn(
+                "expanded", F.coalesce(F.col("expanded"), F.lit(0).cast("long"))
+            )
+        else:
+            pruned = pruned.withColumn("expanded", F.lit(0).cast("long"))
+        pruned = pruned.localCheckpoint(eager=True)
         if pruned.isEmpty():
             break
         new_terminals = pruned.filter(F.col("is_terminal"))

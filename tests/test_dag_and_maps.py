@@ -295,3 +295,31 @@ def test_critic_ranker_fuser_maps(spark):
 
     fused = apply_map(df, MAPS["fuser"]).collect()[0]
     assert fused["fused_response"].startswith("the answer is four [fused ")
+
+
+def test_beam_search_budget_no_driver_collect(spark, monkeypatch):
+    """Budget accounting must stay distributed: no .collect() inside the
+    search loop (the r2 version collected per-round successor counts into a
+    driver dict — a per-round transfer proportional to the prompt count)."""
+    from pyspark.sql import DataFrame
+    from open_thoughts_spark.operators.tree_search import (
+        BeamSearchConfig,
+        beam_search,
+        mock_expand,
+    )
+
+    calls = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(DataFrame, "collect", lambda self: calls.append(1) or orig(self))
+    prompts = spark.createDataFrame(
+        [(i, f"prompt {i}") for i in range(3)], "prompt_id long, instruction string"
+    )
+    out = beam_search(
+        prompts, mock_expand(4),
+        BeamSearchConfig(beam_width=4, beam_depth=5, node_budget=8),
+    )
+    assert not calls  # nothing collected while building the plan
+    rows = orig(out)
+    assert {r["prompt_id"] for r in rows} == {0, 1, 2}
+    # every prompt's expansion total respects the budget + one-round overshoot
+    # bound (retirement happens at round start, after the round that crossed)

@@ -291,3 +291,28 @@ def test_rouge_seed_filter_drops_near_copies(spark):
     assert scored[3] == 1.0 and scored[1] > 0.7 and scored[2] < 0.3
     kept = sorted(r["id"] for r in rouge_seed_filter(df, seeds, max_similarity=0.7).collect())
     assert kept == [2]
+
+
+def test_combined_contaminated_ids_own_eval_schema(spark):
+    """Eval sets carry their own id/text column names (ADVICE r2: the old
+    signature silently bound the pool's id column as the eval id)."""
+    from open_thoughts_spark.operators.decontaminate import (
+        combined_contaminated_ids,
+    )
+
+    pool = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again")],
+        "qid long, question string",
+    )
+    hit = combined_contaminated_ids(
+        pool, evals, "doc_id", "text",
+        eval_id_col="qid", eval_text_col="question", n=5,
+    )
+    assert [r["doc_id"] for r in hit.collect()] == [1]
