@@ -41,51 +41,152 @@ class DAGParseError(ValueError):
     pass
 
 
-def parse_dag(config: dict) -> PipelineDAG:
+def parse_dag(
+    config: dict,
+    frameworks: dict[str, dict] | None = None,
+) -> PipelineDAG:
     """Validate + normalize a dict (or YAML-loaded) pipeline config.
 
     Reference-parity defaults: first operator gets no inputs; every later
     operator without explicit ``input_ids`` chains from the previous one;
     ``output_ids`` defaults to the final operator. Errors: missing/dup ids,
     unknown input references, unknown operator type, cycles.
+
+    ``load_preexisting`` sub-DAG inlining (synthetic_data_manager.py:
+    1228-1307): an operator with ``config.type: load_preexisting`` and
+    ``config.framework_name: <name>`` splices the named child pipeline from
+    the ``frameworks`` registry into this DAG. Child operator ids are
+    namespaced ``<child-name>::<op-id>`` (the reference's ``::`` scheme);
+    every reference to the load_preexisting op's id is rewritten — and
+    FLATTENED, since a child can have several output_ids — to the child's
+    namespaced outputs. Inlining the same framework twice adds its
+    operators ONCE (the reference's deduped_sub_dags), with both
+    references remapped to the shared outputs. Children may themselves
+    load_preexisting (recursion), with framework cycles rejected.
     """
     if "name" not in config or "operators" not in config:
         raise DAGParseError("config requires 'name' and 'operators'")
-    ops: list[OpSpec] = []
+    sink: list[OpSpec] = []
+    output_ids = _parse_into(
+        config, frameworks, None, {}, (), sink
+    )
+    known = {o.id for o in sink}
+    for op in sink:
+        for ref in op.input_ids:
+            if ref not in known:
+                raise DAGParseError(
+                    f"operator {op.id}: unknown input id: {ref}"
+                )
+    for ref in output_ids:
+        if ref not in known:
+            raise DAGParseError(f"unknown output id: {ref}")
+    _toposort(sink)  # raises on cycles
+    return PipelineDAG(
+        name=config["name"], operators=sink, output_ids=output_ids
+    )
+
+
+def _parse_into(
+    config: dict,
+    frameworks: dict[str, dict] | None,
+    namespace: str | None,
+    inlined: dict[str, list[str]],
+    stack: tuple[str, ...],
+    sink: list[OpSpec],
+) -> list[str]:
+    """Parse one (sub-)pipeline, appending its renamed operators to the
+    shared ``sink`` (the reference accumulates every inlined sub-DAG into
+    ONE flat DAG); returns this pipeline's resolved output ids."""
+    if "operators" not in config:
+        raise DAGParseError("config requires 'operators'")
+    prefix = f"{namespace}::" if namespace else ""
+    taken = {o.id for o in sink}
+    local: list[OpSpec] = []
+    renaming: dict[str, list[str]] = {}
     seen: set[str] = set()
     prev: str | None = None
     for entry in config["operators"]:
         oid = entry.get("id")
         if not oid:
             raise DAGParseError("every operator needs an 'id'")
-        if oid in seen:
+        oid = f"{prefix}{oid}"
+        if oid in seen or oid in taken:
             raise DAGParseError(f"duplicate operator id: {oid}")
         seen.add(oid)
         cfg = entry.get("config") or {}
         if "type" not in cfg:
             raise DAGParseError(f"operator {oid}: config requires 'type'")
+        if "input_ids" in entry:
+            input_ids = [f"{prefix}{i}" for i in entry["input_ids"]]
+        else:
+            input_ids = [prev] if prev is not None else []
+        if cfg["type"] == "load_preexisting":
+            fname = cfg.get("framework_name")
+            if not fname:
+                raise DAGParseError(
+                    f"operator {oid}: load_preexisting requires 'framework_name'"
+                )
+            if not frameworks or fname not in frameworks:
+                raise DAGParseError(
+                    f"operator {oid}: unknown framework: {fname}"
+                )
+            if fname in stack:
+                raise DAGParseError(
+                    f"framework cycle: {' -> '.join(stack + (fname,))}"
+                )
+            if fname not in inlined:
+                # first inline adds the child's operators to the sink;
+                # later inlines of the same framework only remap
+                # (deduped_sub_dags semantics)
+                inlined[fname] = _parse_into(
+                    frameworks[fname], frameworks, fname,
+                    inlined, stack + (fname,), sink,
+                )
+            renaming[oid] = list(inlined[fname])
+            prev = oid
+            continue
         if cfg["type"] not in OPERATOR_REGISTRY:
             raise DAGParseError(
                 f"operator {oid}: unknown operator type: {cfg['type']}"
             )
-        if "input_ids" in entry:
-            input_ids = list(entry["input_ids"])
-        else:
-            input_ids = [prev] if prev is not None else []
-        ops.append(OpSpec(id=oid, config=cfg, input_ids=input_ids))
+        local.append(OpSpec(id=oid, config=cfg, input_ids=input_ids))
         prev = oid
-    for op in ops:
-        for ref in op.input_ids:
-            if ref not in seen:
-                raise DAGParseError(
-                    f"operator {op.id}: unknown input id: {ref}"
-                )
-    output_ids = list(config.get("output_ids") or ([ops[-1].id] if ops else []))
-    for ref in output_ids:
-        if ref not in seen:
-            raise DAGParseError(f"unknown output id: {ref}")
-    _toposort(ops)  # raises on cycles
-    return PipelineDAG(name=config["name"], operators=ops, output_ids=output_ids)
+    if renaming:
+        local = [
+            OpSpec(
+                id=o.id,
+                config=o.config,
+                input_ids=[
+                    rid for ref in o.input_ids
+                    for rid in renaming.get(ref, [ref])
+                ],
+            )
+            for o in local
+        ]
+    sink.extend(local)
+    if "output_ids" in config and config["output_ids"]:
+        outs = [f"{prefix}{i}" for i in config["output_ids"]]
+        return [rid for ref in outs for rid in renaming.get(ref, [ref])]
+    if config["operators"]:
+        last = f"{prefix}{config['operators'][-1]['id']}"
+        return renaming.get(last, [last])
+    return []
+
+
+def load_frameworks_dir(path: str) -> dict[str, dict]:
+    """Scan a directory of pipeline YAMLs into a {name: config} registry —
+    the ``frameworks`` argument of :func:`parse_dag` (the reference
+    discovers its 3,100 YAMLs the same way, keyed by each config's name)."""
+    import os
+
+    registry: dict[str, dict] = {}
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith((".yaml", ".yml")):
+            continue
+        cfg = parse_yaml_config(os.path.join(path, fn))
+        if isinstance(cfg, dict) and "name" in cfg:
+            registry[cfg["name"]] = cfg
+    return registry
 
 
 def _toposort(ops: list[OpSpec]) -> list[OpSpec]:

@@ -323,3 +323,123 @@ def test_beam_search_budget_no_driver_collect(spark, monkeypatch):
     assert {r["prompt_id"] for r in rows} == {0, 1, 2}
     # every prompt's expansion total respects the budget + one-round overshoot
     # bound (retirement happens at round start, after the round that crossed)
+
+
+def test_load_preexisting_inlines_namespaced_subdag():
+    frameworks = {
+        "child": {
+            "name": "child",
+            "operators": [
+                _op("src", "parquet_source", path="x"),
+                _op("clean"),
+            ],
+        }
+    }
+    dag = parse_dag(
+        {
+            "name": "parent",
+            "operators": [
+                {"id": "base", "config": {"type": "load_preexisting",
+                                          "framework_name": "child"}},
+                _op("post"),
+            ],
+        },
+        frameworks,
+    )
+    ids = [o.id for o in dag.operators]
+    assert ids == ["child::src", "child::clean", "post"]
+    # default chaining through the load op resolves to the child's output
+    assert dag.operators[2].input_ids == ["child::clean"]
+    assert dag.output_ids == ["post"]
+
+
+def test_load_preexisting_dedupes_and_flattens_outputs():
+    frameworks = {
+        "multi": {
+            "name": "multi",
+            "operators": [
+                _op("a", "parquet_source", path="x"),
+                _op("b", "parquet_source", path="y"),
+            ],
+            "output_ids": ["a", "b"],
+        }
+    }
+    dag = parse_dag(
+        {
+            "name": "parent",
+            "operators": [
+                {"id": "one", "config": {"type": "load_preexisting",
+                                         "framework_name": "multi"}},
+                {"id": "two", "config": {"type": "load_preexisting",
+                                         "framework_name": "multi"}},
+                {"id": "m", "input_ids": ["one", "two"],
+                 "config": {"type": "mix", "key_cols": ["k"]}},
+            ],
+        },
+        frameworks,
+    )
+    ids = [o.id for o in dag.operators]
+    assert ids == ["multi::a", "multi::b", "m"]  # inlined ONCE
+    # both references flatten to the child's two outputs
+    assert dag.operators[2].input_ids == [
+        "multi::a", "multi::b", "multi::a", "multi::b"
+    ]
+
+
+def test_load_preexisting_nested_and_cycles():
+    frameworks = {
+        "leaf": {"name": "leaf",
+                 "operators": [_op("s", "parquet_source", path="x")]},
+        "mid": {"name": "mid",
+                "operators": [
+                    {"id": "inner", "config": {"type": "load_preexisting",
+                                               "framework_name": "leaf"}},
+                    _op("t"),
+                ]},
+        "loop_a": {"name": "loop_a",
+                   "operators": [{"id": "x", "config": {
+                       "type": "load_preexisting", "framework_name": "loop_b"}}]},
+        "loop_b": {"name": "loop_b",
+                   "operators": [{"id": "y", "config": {
+                       "type": "load_preexisting", "framework_name": "loop_a"}}]},
+    }
+    dag = parse_dag(
+        {"name": "p",
+         "operators": [{"id": "m", "config": {"type": "load_preexisting",
+                                              "framework_name": "mid"}}]},
+        frameworks,
+    )
+    assert [o.id for o in dag.operators] == ["leaf::s", "mid::t"]
+    assert dag.operators[1].input_ids == ["leaf::s"]
+    assert dag.output_ids == ["mid::t"]
+    with pytest.raises(DAGParseError, match="cycle"):
+        parse_dag(
+            {"name": "p",
+             "operators": [{"id": "m", "config": {
+                 "type": "load_preexisting", "framework_name": "loop_a"}}]},
+            frameworks,
+        )
+    with pytest.raises(DAGParseError, match="unknown framework"):
+        parse_dag(
+            {"name": "p",
+             "operators": [{"id": "m", "config": {
+                 "type": "load_preexisting", "framework_name": "nope"}}]},
+            frameworks,
+        )
+
+
+def test_load_preexisting_yaml_end_to_end(spark):
+    from open_thoughts_spark.pipeline.dag import load_frameworks_dir
+
+    frameworks = load_frameworks_dir("examples")
+    dag = parse_dag(
+        parse_yaml_config("examples/composed_pipeline.yaml"), frameworks
+    )
+    assert [o.id for o in dag.operators] == [
+        "base_documents::load", "base_documents::decide", "kept", "final"
+    ]
+    outs = run_dag(spark, dag, base_path="/root/testdata/sf0.001")
+    df = outs["final"]
+    assert df.columns == ["doc_id", "lang", "drop_reason", "scrubbed_text"]
+    assert df.count() > 0
+    assert df.filter(F.col("drop_reason") != "kept").count() == 0
