@@ -1431,6 +1431,47 @@ def sql_decontaminate_combined():
     """
 
 
+def q_decontaminate_benchmarks(spark, sf_dir):
+    """Registry-driven decontamination (open_thoughts/eval.py parity): two
+    fixture 'benchmarks' (src0/src1 documents as eval sets) run through the
+    per-benchmark mask; output is the production metrics table
+    (benchmark, contaminated_count)."""
+    docs = _t(spark, sf_dir, "documents")
+    pool = docs.filter(~F.col("source").isin("src0", "src1"))
+    frames = {
+        "fixture/srcA": docs.filter(F.col("source") == "src0").select("text"),
+        "fixture/srcB": docs.filter(F.col("source") == "src1").select("text"),
+    }
+    return decontaminate.benchmark_contamination_report(
+        pool, frames, "doc_id", "text", n=3, mode="ngram"
+    )
+
+
+SQL_DECONTAMINATE_BENCHMARKS = f"""
+    with w as (
+      select doc_id, source, {WORDS_SQL} as words
+      from documents
+    ), sh as (
+      select doc_id, source, unnest(list_distinct([
+        array_to_string(words[i:i+2], ' ')
+        for i in range(1, greatest(len(words) - 2, 0) + 1)
+      ])) as sh
+      from w
+    )
+    select 'fixture/srcA' as benchmark,
+      count(distinct d.doc_id) as contaminated_count
+    from sh d join (select distinct sh from sh where source = 'src0') e
+      on d.sh = e.sh
+    where d.source not in ('src0', 'src1')
+    union all
+    select 'fixture/srcB' as benchmark,
+      count(distinct d.doc_id) as contaminated_count
+    from sh d join (select distinct sh from sh where source = 'src1') e
+      on d.sh = e.sh
+    where d.source not in ('src0', 'src1')
+"""
+
+
 # --- sampling / top-k ---
 
 def q_stratified_sample(spark, sf_dir):
@@ -2599,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitive_closure": q_dedup_closure,
         "decontaminate_ngram": q_decontaminate,
         "decontaminate_combined": q_decontaminate_combined,
+        "decontaminate_benchmarks": q_decontaminate_benchmarks,
         "sample_stratified_by_lang": q_stratified_sample,
         "topn_longest_docs": q_topn_longest,
         "weighted_mix_sources": q_weighted_mix,
@@ -2677,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_transitive_closure": sql_dedup_closure(),
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "decontaminate_combined": sql_decontaminate_combined(),
+        "decontaminate_benchmarks": SQL_DECONTAMINATE_BENCHMARKS,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,

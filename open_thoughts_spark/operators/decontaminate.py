@@ -166,3 +166,120 @@ def combined_contaminated_ids(
         rows_per_band=rows_per_band, shingle_n=shingle_n,
     )
     return ngram_ids.unionByName(fuzzy_ids).distinct()
+
+
+# --- eval-benchmark registry (open_thoughts/eval.py:1-23 parity) ---
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EvalBenchmark:
+    """One benchmark to decontaminate against: which columns carry the
+    question text, which splits matter, optional subset — the reference's
+    EVALUATION_DATASETS entry shape (open_thoughts/eval.py:1-23)."""
+
+    name: str
+    text_cols: tuple[str, ...]
+    splits: tuple[str, ...] = ("test",)
+    subset: str | None = None
+
+
+# The reference's shipped registry (public benchmark names). Loading the
+# actual HF datasets is environment-blocked here — callers supply the eval
+# DataFrames; the registry pins names + expected schema so configs are
+# portable against the reference's.
+EVAL_BENCHMARKS: dict[str, EvalBenchmark] = {
+    "HuggingFaceH4/MATH-500": EvalBenchmark(
+        "HuggingFaceH4/MATH-500", ("problem",), ("test",)
+    ),
+    "Maxwell-Jia/AIME_2024": EvalBenchmark(
+        "Maxwell-Jia/AIME_2024", ("Problem",), ("train",)
+    ),
+    "AI-MO/aimo-validation-amc": EvalBenchmark(
+        "AI-MO/aimo-validation-amc", ("problem",), ("train",)
+    ),
+    "livecodebench/code_generation_lite": EvalBenchmark(
+        "livecodebench/code_generation_lite", ("question_content",), ("test",)
+    ),
+    "Idavidrein/gpqa": EvalBenchmark(
+        "Idavidrein/gpqa", ("Question",), ("train",), subset="gpqa_diamond"
+    ),
+}
+
+
+def register_benchmark(benchmark: EvalBenchmark) -> None:
+    EVAL_BENCHMARKS[benchmark.name] = benchmark
+
+
+def eval_texts(benchmark: EvalBenchmark, df: DataFrame) -> DataFrame:
+    """Normalize a benchmark's eval frame to a single ``_eval_text`` column:
+    the union of every configured text column (the reference checks each of
+    ``eval_columns`` independently — a doc overlapping ANY is contaminated).
+    Raises if the frame is missing a configured column."""
+    missing = [c for c in benchmark.text_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"benchmark {benchmark.name}: eval frame missing columns {missing}"
+        )
+    parts = [df.select(F.col(c).alias("_eval_text")) for c in benchmark.text_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def benchmark_contaminated_ids(
+    pool: DataFrame,
+    eval_frames: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    n: int = config.DECONTAMINATE_NGRAM_N,
+    mode: str = "ngram",
+    **combined_kwargs,
+) -> DataFrame:
+    """(benchmark, id) — which pool rows are contaminated against which
+    registered benchmark. ``mode='ngram'`` uses the n-gram channel;
+    ``mode='combined'`` ORs in the MinHash fuzzy channel
+    (combined_contaminated_ids kwargs pass through). Each benchmark's eval
+    set is normalized through its registry entry, so per-benchmark column
+    names bind correctly."""
+    outs = []
+    for name, frame in eval_frames.items():
+        bench = EVAL_BENCHMARKS.get(name) or EvalBenchmark(name, ("text",))
+        ev = eval_texts(bench, frame)
+        if mode == "combined":
+            ids = combined_contaminated_ids(
+                pool, ev.withColumn("_eid", F.monotonically_increasing_id()),
+                id_col, text_col,
+                eval_id_col="_eid", eval_text_col="_eval_text",
+                n=n, **combined_kwargs,
+            )
+        else:
+            ids = contaminated_ids(
+                pool, ev, id_col, text_col, eval_text_col="_eval_text", n=n
+            )
+        outs.append(ids.select(F.lit(name).alias("benchmark"), F.col(id_col)))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def benchmark_contamination_report(
+    pool: DataFrame,
+    eval_frames: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    n: int = config.DECONTAMINATE_NGRAM_N,
+    mode: str = "ngram",
+    **combined_kwargs,
+) -> DataFrame:
+    """Per-benchmark hit counts (benchmark, contaminated_count) — the
+    metrics table a production decontamination run logs per eval set."""
+    ids = benchmark_contaminated_ids(
+        pool, eval_frames, id_col, text_col, n=n, mode=mode, **combined_kwargs
+    )
+    return ids.groupBy("benchmark").agg(
+        F.count(F.lit(1)).alias("contaminated_count")
+    )

@@ -316,3 +316,49 @@ def test_combined_contaminated_ids_own_eval_schema(spark):
         eval_id_col="qid", eval_text_col="question", n=5,
     )
     assert [r["doc_id"] for r in hit.collect()] == [1]
+
+
+def test_benchmark_registry_contamination(spark):
+    """Registry normalizes per-benchmark column names and reports per-
+    benchmark hit counts; unknown names fall back to a 'text' column."""
+    from open_thoughts_spark.operators.decontaminate import (
+        EVAL_BENCHMARKS,
+        benchmark_contamination_report,
+        eval_texts,
+    )
+
+    pool = spark.createDataFrame(
+        [
+            (1, "what is the integral of x squared over the unit interval"),
+            (2, "spark shuffle partitions and adaptive query execution notes"),
+            (3, "what is the capital city of france in western europe today"),
+        ],
+        "doc_id long, text string",
+    )
+    frames = {
+        # registered benchmark with its own column name
+        "HuggingFaceH4/MATH-500": spark.createDataFrame(
+            [("what is the integral of x squared over the unit interval",)],
+            "problem string",
+        ),
+        # unregistered benchmark → 'text' fallback
+        "my/quiz": spark.createDataFrame(
+            [("what is the capital city of france in western europe today",)],
+            "text string",
+        ),
+    }
+    rep = {
+        r["benchmark"]: r["contaminated_count"]
+        for r in benchmark_contamination_report(
+            pool, frames, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert rep == {"HuggingFaceH4/MATH-500": 1, "my/quiz": 1}
+    # schema validation errors are explicit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        eval_texts(
+            EVAL_BENCHMARKS["Idavidrein/gpqa"],
+            spark.createDataFrame([("x",)], "wrong string"),
+        )
