@@ -51,6 +51,7 @@ class DomainConfig:
     renames: dict[str, str] = field(default_factory=dict)
     dedup_jaccard: float = 0.8
     decontaminate_ngram: int = 13
+    tag_domain: bool = True  # set False when rows carry per-subject domains
 
 
 def curate_domain(
@@ -68,7 +69,8 @@ def curate_domain(
         out = cfg.problem_filter(out)
     if cfg.renames:
         out = relational.force_rename_columns(out, cfg.renames)
-    out = out.withColumn("domain", F.lit(cfg.name))
+    if cfg.tag_domain:
+        out = out.withColumn("domain", F.lit(cfg.name))
     # fuzzy dedup (deduplicate.py:17-55 → MinHash-LSH keep-min-id)
     out = minhash_dedup(
         out, cfg.id_col, cfg.text_col, min_jaccard=cfg.dedup_jaccard
@@ -119,3 +121,96 @@ def verify_and_mix(
         "verified": relational.concatenate(verified_parts),
         "unverified": relational.concatenate(unverified_parts),
     }
+
+
+# --- named domain chains: science (camel) + puzzle (riddle_sense) ---
+
+SCIENCE_SUBJECTS = ("biology", "chemistry", "physics")
+
+
+def riddle_sense_format(
+    df: DataFrame,
+    question_col: str = "question",
+    choices_col: str = "choices",
+    answer_key_col: str = "answerKey",
+) -> DataFrame:
+    """puzzle.py:10-19 (riddle_sense_map), native: fold the multiple-choice
+    labels/texts into the question body ("\\nA: text..."), promote answerKey
+    to 'answer', drop the raw columns. ``choices`` is the HF shape
+    struct<label: array<string>, text: array<string>> — one zip_with +
+    aggregate, no UDF."""
+    folded = F.concat(
+        F.col(question_col),
+        F.aggregate(
+            F.zip_with(
+                F.col(f"{choices_col}.label"),
+                F.col(f"{choices_col}.text"),
+                lambda l, t: F.concat(F.lit("\n"), l, F.lit(": "), t),
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+    )
+    return (
+        df.withColumn(question_col, folded)
+        .withColumn("answer", F.col(answer_key_col))
+        .drop(answer_key_col, choices_col)
+    )
+
+
+def curate_science(
+    subjects: dict[str, DataFrame],
+    id_col: str,
+    samples_per_subtopic: int = 2,
+    eval_sets: list[DataFrame] | None = None,
+    annotate: bool = True,
+    backend=mock_backend,
+) -> DataFrame:
+    """science.py:15-37 chain: per-subject CAMEL table → per-sub_topic
+    seeded subsample (camel.py:55-64) → tag domain=subject → concatenate →
+    rename message_1/topic; → select columns → source='camel' → shared
+    dedup/decontaminate/reason tail. The per-subtopic sample is
+    ``stratified_sample`` (hash-seeded, partition-independent) — the
+    distributed twin of pandas .sample(random_state=42) per group."""
+    parts = []
+    for subject in subjects:
+        if subject not in SCIENCE_SUBJECTS:
+            raise ValueError(f"unknown science subject: {subject}")
+    for subject, df in subjects.items():
+        sub = relational.stratified_sample(
+            df, "sub_topic", samples_per_subtopic, [id_col], salt="camel42"
+        )
+        parts.append(sub.withColumn("domain", F.lit(subject)))
+    ds = relational.concatenate(parts)
+    ds = relational.force_rename_columns(
+        ds, {"message_1": "question", "topic;": "topic"}
+    )
+    ds = ds.select(id_col, "question", "domain", "topic", "sub_topic")
+    ds = ds.withColumn("source", F.lit("camel"))
+    cfg = DomainConfig(
+        name="science", id_col=id_col, text_col="question", tag_domain=False
+    )
+    return curate_domain(
+        ds, cfg, eval_sets=eval_sets, annotate=annotate, backend=backend
+    )
+
+
+def curate_puzzle(
+    df: DataFrame,
+    id_col: str,
+    take: int = 1_250,
+    eval_sets: list[DataFrame] | None = None,
+    annotate: bool = True,
+    backend=mock_backend,
+) -> DataFrame:
+    """puzzle.py:22-40 chain: riddle_sense format map → seeded
+    shuffle+take(1250) (uniform_sample_fixed: hash-ordered
+    TakeOrderedAndProject, the distributed .shuffle(seed=42).take) →
+    domain/source tags → shared dedup/decontaminate/reason tail."""
+    ds = riddle_sense_format(df)
+    ds = relational.uniform_sample_fixed(ds, take, [id_col], salt="riddle42")
+    ds = ds.withColumn("source", F.lit("riddle_sense"))
+    cfg = DomainConfig(name="puzzle", id_col=id_col, text_col="question")
+    return curate_domain(
+        ds, cfg, eval_sets=eval_sets, annotate=annotate, backend=backend
+    )

@@ -73,3 +73,83 @@ def test_verify_and_mix(spark):
     assert [t["from"] for t in conv] == ["human", "gpt"]
     assert conv[0]["value"] == "What is 2+2?"
     assert v["m1"]["domain"] == "math"
+
+
+def test_curate_science_chain(spark):
+    from open_thoughts_spark.pipeline.curation import curate_science
+
+    def camel(subject, n):
+        rows = [
+            (
+                i,
+                f"explain {subject} phenomenon number {i} in rigorous detail please",
+                f"{subject}-topic",
+                f"sub{i % 3}",
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "cid int, message_1 string, `topic;` string, sub_topic string"
+        )
+
+    out = curate_science(
+        {"biology": camel("biology", 9), "physics": camel("physics", 6)},
+        id_col="cid",
+        samples_per_subtopic=2,
+    )
+    rows = out.collect()
+    # 2 per sub_topic x 3 subtopics x 2 subjects
+    assert len(rows) == 12
+    assert set(out.columns) >= {
+        "cid", "question", "domain", "topic", "sub_topic", "source", "reasoning"
+    }
+    assert {r["domain"] for r in rows} == {"biology", "physics"}
+    assert {r["source"] for r in rows} == {"camel"}
+    assert all(r["question"].startswith("explain ") for r in rows)
+    # deterministic: same input → same sample
+    again = curate_science(
+        {"biology": camel("biology", 9), "physics": camel("physics", 6)},
+        id_col="cid", samples_per_subtopic=2,
+    )
+    assert sorted(r["cid"] for r in rows) == sorted(
+        r["cid"] for r in again.collect()
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown science subject"):
+        curate_science({"alchemy": camel("biology", 3)}, id_col="cid")
+
+
+def test_curate_puzzle_chain(spark):
+    from open_thoughts_spark.pipeline.curation import (
+        curate_puzzle,
+        riddle_sense_format,
+    )
+
+    rows = [
+        (
+            i,
+            f"what has keys but cannot open locks number {i}",
+            (["A", "B"], [f"piano {i}", f"map {i}"]),
+            "A",
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rid int, question string, "
+        "choices struct<label: array<string>, text: array<string>>, "
+        "answerKey string",
+    )
+    fmt = riddle_sense_format(df).filter(F.col("rid") == 2).collect()[0]
+    assert fmt["question"] == (
+        "what has keys but cannot open locks number 2\nA: piano 2\nB: map 2"
+    )
+    assert fmt["answer"] == "A"
+    out = curate_puzzle(df, id_col="rid", take=5)
+    got = out.collect()
+    assert len(got) == 5
+    assert {r["domain"] for r in got} == {"puzzle"}
+    assert {r["source"] for r in got} == {"riddle_sense"}
+    assert all("\nA: " in r["question"] for r in got)
+    assert all(r["reasoning"].startswith("[mock:") for r in got)
