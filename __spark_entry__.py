@@ -2152,6 +2152,98 @@ SQL_EMBED_KNN = f"""
 """
 
 
+def q_map_url_classify(spark, sf_dir):
+    """URLClassifyMap end to end (WebInstruct/url_classify_map.py): derive
+    a domain per document, run the classify map (mock: education-keyword
+    heuristic, last-word yes/no contract), keep the boolean verdict. The
+    oracle replays the keyword regex in DuckDB."""
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("mathacademy"))
+            .otherwise(F.lit("shop")),
+            (F.col("doc_id") % 61).cast("string"),
+            F.lit(".example.org"),
+        ).alias("url"),
+    )
+    return apply_map(docs, MAPS["url_classify"]).select(
+        "doc_id", "url", "url_classification"
+    )
+
+
+SQL_MAP_URL_CLASSIFY = """
+    with u as (
+      select doc_id,
+        (case when doc_id % 3 = 0 then 'mathacademy' else 'shop' end)
+          || (doc_id % 61)::varchar || '.example.org' as url
+      from documents
+    )
+    select doc_id, url,
+      regexp_matches(url,
+        '(?i)(edu|school|university|academy|learn|course|tutorial|math|khan)')
+        as url_classification
+    from u
+"""
+
+
+def q_map_extract_qa(spark, sf_dir):
+    """ExtractQAMap end to end (WebInstruct/extract_qa_map.py): docs with
+    embedded 'Q:/A:' pairs expand to one row per extracted pair; docs
+    without any vanish (qa_exists=false). Even doc_ids carry one pair,
+    multiples of 4 carry two — the oracle replays the extraction regex and
+    the row expansion with parallel unnests."""
+    from open_thoughts_spark.operators.maps import (
+        MAPS, apply_map, extract_qa_expand,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pair1 = F.concat(
+        F.lit("Q: what is doc "), F.col("doc_id").cast("string"),
+        F.lit("?\nA: lang "), F.col("lang"), F.lit("\n"),
+    )
+    pair2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("Q: second question for "),
+            F.col("doc_id").cast("string"),
+            F.lit("?\nA: answer two\n"),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("intro text\n"), pair1, pair2, F.lit("outro")),
+    ).otherwise(F.lit("plain document with no questions inside"))
+    staged = docs.select("doc_id", body.alias("text"))
+    return extract_qa_expand(
+        apply_map(staged, MAPS["webinstruct_extract_qa"])
+    ).select("doc_id", "question", "answer")
+
+
+SQL_MAP_EXTRACT_QA = """
+    with t as (
+      select doc_id,
+        'intro text' || chr(10)
+        || 'Q: what is doc ' || doc_id::varchar || '?' || chr(10)
+        || 'A: lang ' || lang || chr(10)
+        || (case when doc_id % 4 = 0
+            then 'Q: second question for ' || doc_id::varchar || '?' || chr(10)
+                 || 'A: answer two' || chr(10)
+            else '' end)
+        || 'outro' as txt
+      from documents
+      where doc_id % 2 = 0
+    )
+    select doc_id,
+      trim(unnest(regexp_extract_all(txt,
+        'Q:[ \\t]*([^\\n]+)\\nA:[ \\t]*([^\\n]+)', 1))) as question,
+      trim(unnest(regexp_extract_all(txt,
+        'Q:[ \\t]*([^\\n]+)\\nA:[ \\t]*([^\\n]+)', 2))) as answer
+    from t
+"""
+
+
 def q_classifier_filter(spark, sf_dir):
     """Train NB on lang labels, keep docs scored 'en' > 0.5. md5 token
     hashing + integer count training means the whole train→score→filter
@@ -2641,6 +2733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": q_decontaminate,
         "decontaminate_combined": q_decontaminate_combined,
         "decontaminate_benchmarks": q_decontaminate_benchmarks,
+        "map_url_classify": q_map_url_classify,
+        "map_extract_qa": q_map_extract_qa,
         "sample_stratified_by_lang": q_stratified_sample,
         "topn_longest_docs": q_topn_longest,
         "weighted_mix_sources": q_weighted_mix,
@@ -2720,6 +2814,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "decontaminate_combined": sql_decontaminate_combined(),
         "decontaminate_benchmarks": SQL_DECONTAMINATE_BENCHMARKS,
+        "map_url_classify": SQL_MAP_URL_CLASSIFY,
+        "map_extract_qa": SQL_MAP_EXTRACT_QA,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,

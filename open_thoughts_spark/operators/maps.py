@@ -2,9 +2,15 @@
 
 The reference ships ~60 map classes, each a (prompt builder, response
 parser) pair run through the completions operator
-(/root/reference/open_thoughts_3/engine/maps/map_registry.py:1-112). Four
-representative shapes are reproduced here against the mock backend (the
-MOCK_VERIFY test posture — open_thoughts/math/judge.py:46-49):
+(/root/reference/open_thoughts_3/engine/maps/map_registry.py:1-112).
+Twenty-two map shapes are reproduced here against the mock backend (the
+MOCK_VERIFY test posture — open_thoughts/math/judge.py:46-49), covering the
+registry's families: judge/scorer/critic/ranker/fuser evaluation, chat +
+reasoner, structured extraction (math answer, WebInstruct QA), list/
+generator, self-instruct (alpaca + seed tasks + unnatural instructions),
+the AutoEvolInstruct evolve/evolver/trajectory trio, difficulty grading,
+test-case synthesis, URL classification and the OCR-shaped bytes->text
+map. Representative of the first four:
 
 - ``judge``          — JudgeMap (judge_map.py:10-60): evaluate an attempt
                        against a golden answer; response ends in yes/no.
@@ -405,12 +411,587 @@ FUSER_MAP = RichMap(
 )
 
 
+
+
+# --- alpaca self-instruct pair (alpaca_map.py / alpaca_seed_task_map.py) ---
+
+_ALPACA_BLACKLIST = [
+    "image", "images", "graph", "graphs", "picture", "pictures", "file",
+    "files", "map", "maps", "draw", "plot", "go to", "video", "audio",
+    "music", "flowchart", "diagram",
+]
+
+
+def _parse_alpaca_blocks(response: str, num_seed: int) -> list[dict]:
+    """AlpacaMap.parse semantics (alpaca_map.py:43-107): the response
+    continues a numbered '### N. Instruction/Input/Output' list; each block
+    splits into the triple, then self-instruct hygiene filters drop
+    too-short/long instructions, multimodal-blacklisted words, 'Write a
+    program' leads, punctuation/non-ascii leads; '<noinput>' normalizes to
+    empty."""
+    raw = f"{num_seed + 1}. Instruction:" + response
+    out = []
+    for idx, block in enumerate(raw.split("###")):
+        n = idx + num_seed + 1
+        parts = re.split(rf"{n}\.\s+(Instruction|Input|Output):", block)
+        if len(parts) != 7:
+            continue
+        inst, inp, outp = parts[2].strip(), parts[4].strip(), parts[6].strip()
+        if inp.lower() == "<noinput>":
+            inp = ""
+        words = inst.split()
+        if len(words) <= 3 or len(words) > 150:
+            continue
+        if any(
+            re.search(rf"\b{re.escape(w)}\b", inst, re.IGNORECASE)
+            for w in _ALPACA_BLACKLIST
+        ):
+            continue
+        if inst.startswith("Write a program"):
+            continue
+        if not inst or inst[0] in _PUNCT or not inst[0].isascii():
+            continue
+        out.append({"instruction": inst, "input": inp, "output": outp})
+    return out
+
+
+_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+def _alpaca_mock(prompts: pd.Series) -> pd.Series:
+    """Emits a numbered continuation with 2 valid blocks, 1 blacklisted and
+    1 malformed — so the parse filters are exercised, not just tolerated.
+    The continuation numbering starts at 4 (num_seed_instructions=3)."""
+
+    def gen(p: str) -> str:
+        d = _digest(p)
+        return (
+            f" Compose a short story about the token {d} in two sentences.\n"
+            f"4. Input:\n<noinput>\n4. Output:\nOnce upon a time, {d} appeared.\n"
+            f"###\n5. Instruction:\nDraw a picture of the {d} diagram now.\n"
+            f"5. Input:\n<noinput>\n5. Output:\nunreachable\n"
+            f"###\n6. Instruction:\nSummarize the passage about {d} in one line.\n"
+            f"6. Input:\nThe passage text mentioning {d}.\n"
+            f"6. Output:\nIt is about {d}.\n"
+            f"###\nmalformed trailing block without numbering"
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+ALPACA_MAP = RichMap(
+    name="alpaca",
+    input_cols=["alpaca_prompt"],
+    build_prompt=lambda c: c["alpaca_prompt"].fillna(""),
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "generated_json": raw.fillna("").map(
+                lambda r: json.dumps(_parse_alpaca_blocks(r, num_seed=3))
+            )
+        }
+    ),
+    out_schema="`generated_json` string",
+    mock=_alpaca_mock,
+)
+
+
+def alpaca_expand(df: DataFrame) -> DataFrame:
+    """Row-expanding tail of AlpacaMap: one output row per parsed
+    (instruction, input, output) triple; rows whose generation parsed to
+    zero valid triples disappear (reference returns an empty list)."""
+    from pyspark.sql import functions as F
+
+    triples = F.from_json(
+        F.col("generated_json"),
+        "array<struct<instruction: string, input: string, output: string>>",
+    )
+    return (
+        df.withColumn("_t", F.explode(F.coalesce(triples, F.array())))
+        .select(
+            *[c for c in df.columns if c != "generated_json"],
+            F.col("_t.instruction").alias("instruction"),
+            F.col("_t.input").alias("input"),
+            F.col("_t.output").alias("output"),
+        )
+    )
+
+
+def _alpaca_seed_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        return json.dumps(
+            {
+                "instruction": f"Explain the concept {d} clearly.",
+                "input": "",
+                "output": f"The concept {d} means the following.",
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _alpaca_seed_parse(raw: pd.Series) -> pd.DataFrame:
+    def one(r: str, key: str) -> str:
+        try:
+            return str(json.loads(r).get(key, ""))
+        except (json.JSONDecodeError, ValueError):
+            return ""
+
+    return pd.DataFrame(
+        {
+            "gen_instruction": raw.fillna("").map(lambda r: one(r, "instruction")),
+            "gen_input": raw.fillna("").map(lambda r: one(r, "input")),
+            "gen_output": raw.fillna("").map(lambda r: one(r, "output")),
+        }
+    )
+
+
+ALPACA_SEED_MAP = RichMap(
+    name="alpaca_seed",
+    input_cols=["seed_prompt"],
+    build_prompt=lambda c: c["seed_prompt"].fillna(""),
+    parse_response=_alpaca_seed_parse,
+    out_schema=(
+        "`gen_instruction` string, `gen_input` string, `gen_output` string"
+    ),
+    mock=_alpaca_seed_mock,
+)
+
+
+def alpaca_seed_expand(
+    df: DataFrame,
+    instruction_col: str = "instruction",
+    input_col: str = "input",
+    output_col: str = "output",
+) -> DataFrame:
+    """AlpacaSeedTaskMap.parse returns [generated_row, original_row] — both
+    survive (alpaca_seed_task_map.py:27-43). Union the generated triple
+    (overwriting the task columns) with the originals."""
+    from pyspark.sql import functions as F
+
+    keep = [
+        c for c in df.columns
+        if c not in ("gen_instruction", "gen_input", "gen_output")
+    ]
+    generated = df.select(
+        *[c for c in keep if c not in (instruction_col, input_col, output_col)],
+        F.col("gen_instruction").alias(instruction_col),
+        F.col("gen_input").alias(input_col),
+        F.col("gen_output").alias(output_col),
+    )
+    original = df.select(
+        *[c for c in keep if c not in (instruction_col, input_col, output_col)],
+        F.col(instruction_col), F.col(input_col), F.col(output_col),
+    )
+    return generated.unionByName(original)
+
+
+# --- generator (generator_map.py: ListMap prompt, list stays ONE row) ---
+
+GENERATOR_MAP = RichMap(
+    name="generator",
+    input_cols=["request"],
+    build_prompt=_list_prompt,
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "generated": raw.fillna("[]").map(
+                lambda r: [str(x) for x in json.loads(r)]
+                if r.startswith("[") else []
+            )
+        }
+    ),
+    out_schema="`generated` array<string>",
+    mock=_list_mock,
+)
+
+
+# --- scorer (scorer_map.py: 1-100 score + reasoning, structured) ---
+
+def _scorer_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        score = int(d[:2], 16) % 100 + 1
+        return json.dumps(
+            {"response": score, "reasoning": f"scored by rubric [{d}]"}
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _scorer_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str) -> tuple[float, str]:
+        try:
+            d = json.loads(r)
+            return float(d["response"]), str(d.get("reasoning", ""))
+        except (json.JSONDecodeError, ValueError, KeyError, TypeError):
+            return float("nan"), ""
+
+    pairs = raw.fillna("").map(load)
+    return pd.DataFrame(
+        {
+            "score": pairs.map(lambda t: t[0]),
+            "classifier_reasoning": pairs.map(lambda t: t[1]),
+        }
+    )
+
+
+SCORER_MAP = RichMap(
+    name="scorer",
+    input_cols=["query", "response"],
+    build_prompt=lambda c: (
+        "Score the response to the query from 1 to 100 and explain.\nQuery: "
+        + c["query"].fillna("") + "\nResponse: " + c["response"].fillna("")
+    ),
+    parse_response=_scorer_parse,
+    out_schema="`score` double, `classifier_reasoning` string",
+    mock=_scorer_mock,
+)
+
+
+# --- test_cases (test_case_map.py: paired stdin/stdout lists) ---
+
+def _test_cases_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        k = int(d[:2], 16) % 3 + 2
+        return json.dumps(
+            {
+                "test_inputs": [f"in-{d}-{j}" for j in range(k)],
+                "test_outputs": [f"out-{d}-{j}" for j in range(k)],
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _test_cases_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str, key: str) -> list[str]:
+        try:
+            return [str(x) for x in json.loads(r)[key]]
+        except (json.JSONDecodeError, ValueError, KeyError, TypeError):
+            return []
+
+    return pd.DataFrame(
+        {
+            "test_inputs": raw.fillna("").map(lambda r: load(r, "test_inputs")),
+            "test_outputs": raw.fillna("").map(lambda r: load(r, "test_outputs")),
+        }
+    )
+
+
+TEST_CASE_MAP = RichMap(
+    name="test_cases",
+    input_cols=["problem"],
+    build_prompt=lambda c: (
+        "Write test cases for this problem:\n\n" + c["problem"].fillna("")
+    ),
+    parse_response=_test_cases_parse,
+    out_schema="`test_inputs` array<string>, `test_outputs` array<string>",
+    mock=_test_cases_mock,
+)
+
+
+# --- unnatural_instructions (structured instruction/input/constraints) ---
+
+def _unnatural_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        return json.dumps(
+            {
+                "instruction": f"Classify the sentiment of sample {d}.",
+                "input": f"Sample text {d}.",
+                "constraints": "The output should be positive or negative.",
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _unnatural_parse(raw: pd.Series) -> pd.DataFrame:
+    def one(r: str, key: str) -> str:
+        try:
+            return str(json.loads(r).get(key, ""))
+        except (json.JSONDecodeError, ValueError):
+            return ""
+
+    return pd.DataFrame(
+        {
+            k: raw.fillna("").map(lambda r, k=k: one(r, k))
+            for k in ("instruction", "input", "constraints")
+        }
+    )
+
+
+UNNATURAL_INSTRUCTIONS_MAP = RichMap(
+    name="unnatural_instructions",
+    input_cols=["seed_prompt"],
+    build_prompt=lambda c: c["seed_prompt"].fillna(""),
+    parse_response=_unnatural_parse,
+    out_schema="`instruction` string, `input` string, `constraints` string",
+    mock=_unnatural_mock,
+)
+
+
+# --- url_classify (WebInstruct/url_classify_map.py: last word yes/no) ---
+
+_EDU_HINT = re.compile(
+    r"(?i)(edu|school|university|academy|learn|course|tutorial|math|khan)"
+)
+
+
+def _url_classify_mock(prompts: pd.Series) -> pd.Series:
+    """Actually classifies: educational iff the domain carries an
+    education-y token (deterministic stand-in for the LLM heuristic)."""
+
+    def gen(p: str) -> str:
+        url = p.rsplit("Domain: ", 1)[-1]
+        verdict = "yes" if _EDU_HINT.search(url) else "no"
+        return f"Considered the domain [{_digest(p)}]. {verdict}"
+
+    return prompts.fillna("").map(gen)
+
+
+def _url_classify_parse(raw: pd.Series) -> pd.DataFrame:
+    last = raw.fillna("").str.strip().str.split().str[-1].str.lower()
+    return pd.DataFrame(
+        {
+            "url_classification": last == "yes",
+            "url_classification_full": raw.fillna(""),
+        }
+    )
+
+
+URL_CLASSIFY_MAP = RichMap(
+    name="url_classify",
+    input_cols=["url"],
+    build_prompt=lambda c: (
+        "Classify whether this domain hosts educational content. The last "
+        "word you send must be yes or no.\nDomain: " + c["url"].fillna("")
+    ),
+    parse_response=_url_classify_parse,
+    out_schema="`url_classification` boolean, `url_classification_full` string",
+    mock=_url_classify_mock,
+)
+
+
+# --- gemini_ocr (GeminiOCR/gemini_ocr.py: page bytes -> extracted text) ---
+
+def _ocr_prompt(chunk: pd.DataFrame) -> pd.Series:
+    """The real map attaches the PDF bytes as a file part; the prompt
+    column here carries a deterministic surrogate (page number + content
+    digest) since no OCR model/codec exists in this environment — the
+    bytes themselves flow through Arrow untouched."""
+    return pd.Series(
+        [
+            f"OCR page {n}: {hashlib.md5(bytes(b or b'')).hexdigest()}"
+            for b, n in zip(chunk["page_bytes"], chunk["page_number"])
+        ],
+        index=chunk.index,
+    )
+
+
+GEMINI_OCR_MAP = RichMap(
+    name="gemini_ocr",
+    input_cols=["page_bytes", "page_number"],
+    build_prompt=_ocr_prompt,
+    parse_response=lambda raw: pd.DataFrame(
+        {"output_extraction": raw.fillna("")}
+    ),
+    out_schema="`output_extraction` string",
+    mock=lambda p: p.fillna("").map(
+        lambda x: f"# Extracted text\n[{_digest(x)}] {x.split(': ')[-1]}"
+    ),
+)
+
+
+# --- webinstruct_extract_qa (WebInstruct/extract_qa_map.py, row-expanding) ---
+
+_QA_PAT = re.compile(r"Q:\s*([^\n]+)\nA:\s*([^\n]+)")
+
+
+def _extract_qa_mock(prompts: pd.Series) -> pd.Series:
+    """Actually extracts: 'Q: ...\\nA: ...' pairs found in the document body
+    become the structured pair list (qa_exists=False when none)."""
+
+    def gen(p: str) -> str:
+        pairs = [
+            {"question": q.strip(), "answer": a.strip()}
+            for q, a in _QA_PAT.findall(p)
+        ]
+        return json.dumps({"qa_exists": bool(pairs), "extracted_qa_pairs": pairs})
+
+    return prompts.fillna("").map(gen)
+
+
+EXTRACT_QA_MAP = RichMap(
+    name="webinstruct_extract_qa",
+    input_cols=["text"],
+    build_prompt=lambda c: c["text"].fillna(""),
+    parse_response=lambda raw: pd.DataFrame({"qa_json": raw.fillna("")}),
+    out_schema="`qa_json` string",
+    mock=_extract_qa_mock,
+)
+
+
+def extract_qa_expand(df: DataFrame) -> DataFrame:
+    """Row-expanding tail: one row per extracted (question, answer); rows
+    with qa_exists=false vanish (extract_qa_map.py:62-76)."""
+    from pyspark.sql import functions as F
+
+    pairs = F.from_json(
+        F.col("qa_json"),
+        "struct<qa_exists: boolean, "
+        "extracted_qa_pairs: array<struct<question: string, answer: string>>>",
+    )
+    return (
+        df.withColumn(
+            "_qa", F.explode(F.coalesce(pairs["extracted_qa_pairs"], F.array()))
+        )
+        .select(
+            *[c for c in df.columns if c != "qa_json"],
+            F.col("_qa.question").alias("question"),
+            F.col("_qa.answer").alias("answer"),
+        )
+    )
+
+
+# --- AutoEvolInstruct trio (evolve instruction / evolve the evolver /
+# analyze the trajectory — AutoEvolInstruct/*.py) ---
+
+def _evol_llm_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        base = p.rsplit("#Instruction#:", 1)[-1].strip()
+        evolved = (
+            f"{base} Additionally, justify each step and handle the edge "
+            f"case {d}."
+        )
+        return json.dumps(
+            {
+                "methods_list": "add constraints; require justification",
+                "plan": f"extend the task with edge case {d}",
+                "rewritten_instruction": evolved,
+                "finally_rewritten_instruction": evolved,
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _evol_llm_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str, key: str) -> str:
+        try:
+            return str(json.loads(r).get(key, ""))
+        except (json.JSONDecodeError, ValueError):
+            return ""
+
+    return pd.DataFrame(
+        {
+            "methods_list": raw.fillna("").map(lambda r: load(r, "methods_list")),
+            "plan": raw.fillna("").map(lambda r: load(r, "plan")),
+            "evolved_instruction": raw.fillna("").map(
+                lambda r: load(r, "finally_rewritten_instruction")
+            ),
+        }
+    )
+
+
+AUTO_EVOL_LLM_MAP = RichMap(
+    name="auto_evol_llm",
+    input_cols=["evol_prompt", "instruction"],
+    build_prompt=lambda c: (
+        c["evol_prompt"].fillna("") + "\n#Instruction#:\n"
+        + c["instruction"].fillna("")
+    ),
+    parse_response=_evol_llm_parse,
+    out_schema=(
+        "`methods_list` string, `plan` string, `evolved_instruction` string"
+    ),
+    mock=_evol_llm_mock,
+)
+
+
+EVOL_PROMPT_EVOLVER_MAP = RichMap(
+    name="auto_evol_prompt_evolver",
+    input_cols=["feedback", "evol_prompt"],
+    build_prompt=lambda c: (
+        c["feedback"].fillna("")
+        + "\nI will provide you with the method for evolving the above "
+        "instructions. Optimize this method based on the feedback without "
+        "harming other cases.\nHere is the method:\n"
+        + c["evol_prompt"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {"evol_prompt_evolved": raw.fillna("")}
+    ),
+    out_schema="`evol_prompt_evolved` string",
+    mock=lambda p: p.fillna("").map(
+        lambda x: (
+            "Evolve the instruction by adding one reasoning constraint and "
+            f"one verification step [{_digest(x)}]."
+        )
+    ),
+)
+
+
+def _trajectory_mock(prompts: pd.Series) -> pd.Series:
+    """Actually analyzes: a stage whose instruction got SHORTER than its
+    predecessor 'failed to evolve' — deterministic and meaningful."""
+
+    def gen(p: str) -> str:
+        stages = re.findall(r"Instruction \d+: ([^\n]*)", p)
+        failed = [
+            str(i + 1)
+            for i in range(1, len(stages))
+            if len(stages[i]) < len(stages[i - 1])
+        ]
+        if failed:
+            return (
+                "Failed cases: " + ", ".join(failed)
+                + " — complexity regressed at these stages."
+            )
+        return "All stages increased in complexity."
+
+    return prompts.fillna("").map(gen)
+
+
+def _trajectory_prompt(chunk: pd.DataFrame) -> pd.Series:
+    def fmt(r: str) -> str:
+        try:
+            stages = json.loads(r or "[]")
+        except (json.JSONDecodeError, ValueError):
+            stages = []
+        head = (
+            "Identify cases that failed to evolve (each stage must increase "
+            "complexity over the previous).\n"
+        )
+        return head + "".join(
+            f"Instruction {i + 1}: {s}\n" for i, s in enumerate(stages)
+        )
+
+    return chunk["evolved_instructions_json"].fillna("[]").map(fmt)
+
+
+TRAJECTORY_ANALYSIS_MAP = RichMap(
+    name="auto_evol_trajectory_analysis",
+    input_cols=["evolved_instructions_json"],
+    build_prompt=_trajectory_prompt,
+    parse_response=lambda raw: pd.DataFrame({"feedback": raw.fillna("")}),
+    out_schema="`feedback` string",
+    mock=_trajectory_mock,
+)
+
+
 MAPS: dict[str, RichMap] = {
     m.name: m
     for m in (
         JUDGE_MAP, DIFFICULTY_MAP, EXTRACT_ANSWER_MAP, REASON_MAP,
         CHAT_MAP, BINARY_CLASSIFIER_MAP, LIST_MAP,
         CRITIC_MAP, RANKER_MAP, FUSER_MAP,
+        ALPACA_MAP, ALPACA_SEED_MAP, GENERATOR_MAP, SCORER_MAP,
+        TEST_CASE_MAP, UNNATURAL_INSTRUCTIONS_MAP, URL_CLASSIFY_MAP,
+        GEMINI_OCR_MAP, EXTRACT_QA_MAP,
+        AUTO_EVOL_LLM_MAP, EVOL_PROMPT_EVOLVER_MAP, TRAJECTORY_ANALYSIS_MAP,
     )
 }
 

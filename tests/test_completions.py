@@ -57,3 +57,160 @@ def test_list_index_helpers(spark):
     assert got == {1: "b", 2: None}
     first = relational.list_to_string(df, "xs", "first")
     assert {r["id"]: r["first"] for r in first.collect()} == {1: "a", 2: None}
+
+
+# --- round-3 map tranche ---
+
+def test_alpaca_map_parse_filters(spark):
+    from open_thoughts_spark.operators.maps import (
+        MAPS, alpaca_expand, apply_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Generate 10 diverse task instructions. 1. Instruction: seed")],
+        "sid int, alpaca_prompt string",
+    )
+    out = alpaca_expand(apply_map(df, MAPS["alpaca"]))
+    rows = out.collect()
+    # mock emits 2 valid + 1 blacklisted ('picture'/'diagram') + 1 malformed
+    assert len(rows) == 2
+    insts = {r["instruction"].split()[0] for r in rows}
+    assert insts == {"Compose", "Summarize"}
+    # <noinput> normalized to empty; real input preserved
+    by_first = {r["instruction"].split()[0]: r for r in rows}
+    assert by_first["Compose"]["input"] == ""
+    assert by_first["Summarize"]["input"].startswith("The passage")
+
+
+def test_alpaca_seed_expand_keeps_both(spark):
+    from open_thoughts_spark.operators.maps import (
+        MAPS, alpaca_seed_expand, apply_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "make a task", "orig-inst", "orig-in", "orig-out")],
+        "sid int, seed_prompt string, instruction string, "
+        "input string, output string",
+    )
+    out = alpaca_seed_expand(apply_map(df, MAPS["alpaca_seed"]))
+    rows = sorted(out.collect(), key=lambda r: r["instruction"])
+    assert len(rows) == 2  # generated row + original row
+    assert rows[0]["instruction"].startswith("Explain the concept")
+    assert rows[1]["instruction"] == "orig-inst"
+
+
+def test_generator_scorer_testcases_unnatural(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    gen = apply_map(
+        spark.createDataFrame([(1, "list three fruits")],
+                              "rid int, request string"),
+        MAPS["generator"],
+    ).collect()[0]
+    assert isinstance(gen["generated"], list) and len(gen["generated"]) >= 1
+
+    sc = apply_map(
+        spark.createDataFrame([(1, "q", "resp")],
+                              "rid int, query string, response string"),
+        MAPS["scorer"],
+    ).collect()[0]
+    assert 1 <= sc["score"] <= 100
+    assert sc["classifier_reasoning"].startswith("scored")
+
+    tc = apply_map(
+        spark.createDataFrame([(1, "sum two ints from stdin")],
+                              "rid int, problem string"),
+        MAPS["test_cases"],
+    ).collect()[0]
+    assert len(tc["test_inputs"]) == len(tc["test_outputs"]) >= 2
+
+    un = apply_map(
+        spark.createDataFrame([(1, "seed")], "rid int, seed_prompt string"),
+        MAPS["unnatural_instructions"],
+    ).collect()[0]
+    assert un["instruction"].startswith("Classify")
+    assert un["constraints"].startswith("The output")
+
+
+def test_url_classify_and_ocr_and_extract_qa(spark):
+    from open_thoughts_spark.operators.maps import (
+        MAPS, apply_map, extract_qa_expand,
+    )
+
+    urls = apply_map(
+        spark.createDataFrame(
+            [(1, "mathacademy.example.org"), (2, "shopping.example.com")],
+            "uid int, url string",
+        ),
+        MAPS["url_classify"],
+    ).collect()
+    got = {r["uid"]: r["url_classification"] for r in urls}
+    assert got == {1: True, 2: False}
+    assert all(r["url_classification_full"].split()[-1] in ("yes", "no")
+               for r in urls)
+
+    ocr = apply_map(
+        spark.createDataFrame([(1, bytearray(b"%PDF-fake"), 3)],
+                              "did int, page_bytes binary, page_number int"),
+        MAPS["gemini_ocr"],
+    ).collect()[0]
+    assert ocr["output_extraction"].startswith("# Extracted text")
+
+    qa = extract_qa_expand(
+        apply_map(
+            spark.createDataFrame(
+                [
+                    (1, "intro\nQ: what is two plus two?\nA: four\n"
+                        "noise\nQ: capital of france?\nA: paris"),
+                    (2, "just an advertisement, no questions at all"),
+                ],
+                "did int, text string",
+            ),
+            MAPS["webinstruct_extract_qa"],
+        )
+    ).collect()
+    assert len(qa) == 2  # doc 2 vanishes (qa_exists false)
+    assert {r["question"] for r in qa} == {
+        "what is two plus two?", "capital of france?"
+    }
+    assert {r["answer"] for r in qa} == {"four", "paris"}
+
+
+def test_auto_evol_trio_roundtrip(spark):
+    import json as _json
+
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    base = spark.createDataFrame(
+        [(1, "Evolve by adding constraints.", "Solve x + 2 = 5.")],
+        "eid int, evol_prompt string, instruction string",
+    )
+    evolved = apply_map(base, MAPS["auto_evol_llm"]).collect()[0]
+    assert evolved["evolved_instruction"].startswith("Solve x + 2 = 5.")
+    assert len(evolved["evolved_instruction"]) > len("Solve x + 2 = 5.")
+    assert evolved["methods_list"]
+
+    # trajectory analysis flags a stage that regressed in complexity
+    traj = apply_map(
+        spark.createDataFrame(
+            [
+                (1, _json.dumps(["short", "a longer instruction", "tiny"])),
+                (2, _json.dumps(["a", "ab", "abc"])),
+            ],
+            "eid int, evolved_instructions_json string",
+        ),
+        MAPS["auto_evol_trajectory_analysis"],
+    ).collect()
+    fb = {r["eid"]: r["feedback"] for r in traj}
+    assert fb[1].startswith("Failed cases: 3")
+    assert fb[2] == "All stages increased in complexity."
+
+    # evolver consumes feedback and emits a new method prompt
+    ev = apply_map(
+        spark.createDataFrame(
+            [(1, fb[1], "Evolve by adding constraints.")],
+            "eid int, feedback string, evol_prompt string",
+        ),
+        MAPS["auto_evol_prompt_evolver"],
+    ).collect()[0]
+    assert ev["evol_prompt_evolved"].startswith("Evolve the instruction")
