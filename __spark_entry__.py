@@ -2447,16 +2447,68 @@ def sql_tree_search_beam(depth: int = 3, width: int = 3, branch: int = 3):
 
 
 def q_rouge_seed_filter(spark, sf_dir):
-    """ROUGE-L seed-pool novelty filter (Alpaca utils.py:289-309): drop docs
-    too similar to the first-5-doc 'seed pool'. LCS is not SQL-expressible
-    at reasonable cost — rows-only driver check; exactness is pinned by the
-    brute-force-LCS parity unit test."""
+    """ROUGE-L seed-pool novelty scores (Alpaca utils.py:289-309) against
+    the first-5-doc 'seed pool' — VALUE-ORACLED (was rows-only through r2):
+    the DuckDB oracle runs the same LCS as an anti-diagonal recursive CTE
+    (dp cells on diagonal k depend only on diagonals k-1/k-2, so each
+    iteration is one pure list_transform — no in-row dependency). Scores
+    compare as trunc(1e6 * raw-double) int64s: both engines compute
+    2.0*LCS/(n+m) with identical IEEE ops, so the integers match exactly."""
     from open_thoughts_spark.operators.rouge import with_max_rouge
 
     docs = _t(spark, sf_dir, "documents")
     seeds = [r["text"] for r in docs.filter(F.col("doc_id") < 5).collect()]
     pool = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 100))
-    return with_max_rouge(pool, seeds).select("doc_id", "max_rouge_l")
+    raw = with_max_rouge(pool, seeds, round6=False)
+    return raw.select(
+        "doc_id",
+        F.floor(F.lit(1_000_000) * F.col("max_rouge_l"))
+        .cast("long")
+        .alias("max_rouge_micro"),
+    )
+
+
+SQL_ROUGE_SEED_FILTER = """
+    with recursive
+    tok as (
+      select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as t
+      from documents where doc_id < 100
+    ),
+    pairs as (
+      select d.doc_id, s.doc_id as seed_id, d.t as a, s.t as b,
+             len(d.t) as n, len(s.t) as m
+      from tok d, tok s
+      where d.doc_id >= 5 and s.doc_id < 5
+    ),
+    dp as (
+      select doc_id, seed_id, a, b, n, m, 1 as k,
+        list_transform(range(0, n + 1), i -> 0) as prev,
+        list_transform(range(0, n + 1), i -> 0) as cur
+      from pairs where n > 0 and m > 0
+      union all
+      select doc_id, seed_id, a, b, n, m, k + 1,
+        cur as prev,
+        list_transform(range(0, n + 1), i ->
+          case when i = 0 or (k + 1 - i) < 1 or (k + 1 - i) > m or i > n
+               then 0
+          else greatest(
+            cur[i],
+            cur[i + 1],
+            prev[i] + (case when a[i] = b[k + 1 - i] then 1 else 0 end))
+          end) as cur
+      from dp where k < n + m
+    ),
+    scores as (
+      select doc_id, seed_id, 2.0 * cur[n + 1] / (n + m) as f1
+      from dp where k = n + m
+    )
+    select p.doc_id,
+      cast(trunc(1000000 * coalesce(max(s.f1), 0.0)) as bigint)
+        as max_rouge_micro
+    from (select distinct doc_id from pairs) p
+    left join scores s on s.doc_id = p.doc_id
+    group by 1
+"""
 
 
 def q_part_supplier_revenue(spark, sf_dir):
@@ -2816,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_benchmarks": SQL_DECONTAMINATE_BENCHMARKS,
         "map_url_classify": SQL_MAP_URL_CLASSIFY,
         "map_extract_qa": SQL_MAP_EXTRACT_QA,
+        "rouge_seed_filter": SQL_ROUGE_SEED_FILTER,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,

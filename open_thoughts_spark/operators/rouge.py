@@ -61,9 +61,13 @@ def with_max_rouge(
     seed_texts: list[str],
     text_col: str = "text",
     out_col: str = "max_rouge_l",
+    round6: bool = True,
 ) -> DataFrame:
     """Attach max ROUGE-L F1 vs the (broadcast) seed pool, rounded to 6dp
-    (rank-stable float discipline)."""
+    (rank-stable float discipline). ``round6=False`` yields the raw IEEE
+    double — use when the caller integer-scales the score itself (the
+    value-oracle path truncs ``1e6 * raw`` so both engines compare exact
+    int64s)."""
     seeds = [rouge_tokens(s) for s in seed_texts]
 
     @F.pandas_udf("double")
@@ -75,7 +79,7 @@ def with_max_rouge(
                 score = max(
                     (rouge_l_f1(toks, s) for s in seeds), default=0.0
                 )
-                out.append(round(score, 6))
+                out.append(round(score, 6) if round6 else score)
             yield pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, _udf(F.col(text_col)))
