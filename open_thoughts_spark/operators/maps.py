@@ -3,14 +3,20 @@
 The reference ships ~60 map classes, each a (prompt builder, response
 parser) pair run through the completions operator
 (/root/reference/open_thoughts_3/engine/maps/map_registry.py:1-112).
-Twenty-two map shapes are reproduced here against the mock backend (the
+Forty-two map shapes are reproduced here against the mock backend (the
 MOCK_VERIFY test posture — open_thoughts/math/judge.py:46-49), covering the
 registry's families: judge/scorer/critic/ranker/fuser evaluation, chat +
-reasoner, structured extraction (math answer, WebInstruct QA), list/
-generator, self-instruct (alpaca + seed tasks + unnatural instructions),
-the AutoEvolInstruct evolve/evolver/trajectory trio, difficulty grading,
-test-case synthesis, URL classification and the OCR-shaped bytes->text
-map. Representative of the first four:
+reasoner shapes (DeepSeek judge incl. boxed-verdict parse), structured
+extraction (math answer, WebInstruct QA/revise/domain-classify, code-golf
+block extraction), list/generator, self-instruct (alpaca + seed tasks +
+unnatural instructions + open_gpt), the AutoEvolInstruct
+evolve/evolver/trajectory trio, the full Metamath inversion loop
+(inverse-question quantities, rephrase, self-verification declaratives,
+solve-inverse/rephrased, problem cloning), the AutoVerification
+consistency votes (math/code/science 'same'), SkyT1 difficulty rubrics
+(math/ICPC/science), the Airoboros contextual/counterfactual/experience/
+list-QA family, URL classification and the OCR-shaped bytes->text map.
+Representative of the first four:
 
 - ``judge``          — JudgeMap (judge_map.py:10-60): evaluate an attempt
                        against a golden answer; response ends in yes/no.
@@ -982,6 +988,628 @@ TRAJECTORY_ANALYSIS_MAP = RichMap(
 )
 
 
+
+
+# --- Metamath family (Metamath/*.py: question inversion / rephrase /
+# self-verification / solving loops) ---
+
+_NUM_RE = re.compile(r"\b\d+(?:\.\d+)?\b")
+
+
+def _inverse_q_mock(prompts: pd.Series) -> pd.Series:
+    """Actually inverts: each numeric quantity in the question becomes one
+    inverse pair — the quantity replaced by X, the answer being the
+    quantity (inverse_question_map.py contract)."""
+
+    def gen(p: str) -> str:
+        q = p.rsplit("Question: ", 1)[-1]
+        pairs = []
+        for mobj in _NUM_RE.finditer(q):
+            pairs.append(
+                {
+                    "surrounding_context": q[
+                        max(0, mobj.start() - 15): mobj.end() + 15
+                    ],
+                    "inverse_question": q[: mobj.start()] + "X" + q[mobj.end():],
+                    "inverse_answer": mobj.group(0),
+                }
+            )
+        return json.dumps({"quantities": pairs})
+
+    return prompts.fillna("").map(gen)
+
+
+METAMATH_INVERSE_QUESTION_MAP = RichMap(
+    name="metamath_inverse_question",
+    input_cols=["question"],
+    build_prompt=lambda c: (
+        "Extract numerical quantities and invert the question by replacing "
+        "each with X.\nQuestion: " + c["question"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame({"inverse_json": raw.fillna("")}),
+    out_schema="`inverse_json` string",
+    mock=_inverse_q_mock,
+)
+
+
+def metamath_inverse_expand(df: DataFrame) -> DataFrame:
+    """One row per extracted quantity (inverse_question_map.py parse)."""
+    from pyspark.sql import functions as F
+
+    parsed = F.from_json(
+        F.col("inverse_json"),
+        "struct<quantities: array<struct<surrounding_context: string, "
+        "inverse_question: string, inverse_answer: string>>>",
+    )
+    return (
+        df.withColumn("_q", F.explode(F.coalesce(parsed["quantities"], F.array())))
+        .select(
+            *[c for c in df.columns if c != "inverse_json"],
+            F.col("_q.inverse_question").alias("inverse_question"),
+            F.col("_q.inverse_answer").alias("inverse_answer"),
+        )
+    )
+
+
+METAMATH_REPHRASE_MAP = RichMap(
+    name="metamath_rephrase_question",
+    input_cols=["question"],
+    build_prompt=lambda c: (
+        "Rephrase the question, keeping its mathematical content.\n"
+        "Question: " + c["question"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {"rephrased_question": raw.fillna("")}
+    ),
+    out_schema="`rephrased_question` string",
+    mock=lambda p: p.fillna("").map(
+        lambda x: "Consider the following: "
+        + x.rsplit("Question: ", 1)[-1].rstrip(".?")
+        + f" — what is the result? [{_digest(x)}]"
+    ),
+)
+
+
+METAMATH_SELF_VERIFICATION_MAP = RichMap(
+    name="metamath_self_verification",
+    input_cols=["question", "answer"],
+    build_prompt=lambda c: (
+        "Rewrite the question and its answer as one declarative statement."
+        "\nQuestion: " + c["question"].fillna("")
+        + "\nAnswer: " + c["answer"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {"declarative_statement": raw.fillna("")}
+    ),
+    out_schema="`declarative_statement` string",
+    mock=lambda p: p.fillna("").map(
+        lambda x: "It is the case that the answer to \""
+        + x.rsplit("Question: ", 1)[-1].split("\nAnswer: ")[0]
+        + "\" is " + x.rsplit("Answer: ", 1)[-1] + "."
+    ),
+)
+
+
+def _solve_answer_mock(prompts: pd.Series) -> pd.Series:
+    """Deterministic 'solver': returns the ground-truth answer when the
+    prompt digest is even (a correct attempt) and a perturbed one when odd
+    — so the downstream match/filter logic is exercised both ways."""
+
+    def gen(p: str) -> str:
+        truth = p.rsplit("Ground truth: ", 1)[-1].strip()
+        d = _digest(p)
+        ans = truth if int(d[0], 16) % 2 == 0 else truth + "0"
+        return json.dumps(
+            {"solution": f"Worked through the steps [{d}].", "final_answer": ans}
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _solve_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str, key: str) -> str:
+        try:
+            return str(json.loads(r).get(key, ""))
+        except (json.JSONDecodeError, ValueError):
+            return ""
+
+    return pd.DataFrame(
+        {
+            "solution": raw.fillna("").map(lambda r: load(r, "solution")),
+            "predicted_answer": raw.fillna("").map(
+                lambda r: load(r, "final_answer")
+            ),
+        }
+    )
+
+
+METAMATH_SOLVE_INVERSE_MAP = RichMap(
+    name="metamath_solve_inverse",
+    input_cols=["inverse_question", "inverse_answer"],
+    build_prompt=lambda c: (
+        "Solve for X.\nQuestion: " + c["inverse_question"].fillna("")
+        + "\nGround truth: " + c["inverse_answer"].fillna("")
+    ),
+    parse_response=_solve_parse,
+    out_schema="`solution` string, `predicted_answer` string",
+    mock=_solve_answer_mock,
+)
+
+
+METAMATH_SOLVE_REPHRASED_MAP = RichMap(
+    name="metamath_solve_rephrased",
+    input_cols=["rephrased_question", "answer"],
+    build_prompt=lambda c: (
+        "Solve the problem.\nQuestion: " + c["rephrased_question"].fillna("")
+        + "\nGround truth: " + c["answer"].fillna("")
+    ),
+    parse_response=_solve_parse,
+    out_schema="`solution` string, `predicted_answer` string",
+    mock=_solve_answer_mock,
+)
+
+
+METAMATH_PROBLEM_CLONE_MAP = RichMap(
+    name="metamath_problem_clone",
+    input_cols=["question"],
+    build_prompt=lambda c: (
+        "Write a NEW problem similar in structure and difficulty to this "
+        "one.\nQuestion: " + c["question"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame({"cloned_question": raw.fillna("")}),
+    out_schema="`cloned_question` string",
+    mock=lambda p: p.fillna("").map(
+        lambda x: re.sub(
+            _NUM_RE,
+            lambda m: str(int(float(m.group(0))) + 1),
+            x.rsplit("Question: ", 1)[-1],
+        )
+        + f" [variant {_digest(x)}]"
+    ),
+)
+
+
+# --- AutoVerification (AutoVerification/*.py: which of N responses agree) ---
+
+_FINAL_ANSWER_RE = re.compile(r"(?:final answer|answer)[:\s]*([^\n.]+)", re.I)
+
+
+def _same_mock(prompts: pd.Series) -> pd.Series:
+    """Actually verifies: extracts each candidate's final answer (tail
+    'answer: x' marker, else last token), groups by value, returns the
+    indices of the largest agreeing group — the consistency-vote the real
+    map asks the LLM for."""
+
+    def gen(p: str) -> str:
+        cands = _prompt_candidates(p)
+        finals = []
+        for cand in cands:
+            m = _FINAL_ANSWER_RE.search(cand)
+            finals.append(
+                (m.group(1) if m else (cand.split()[-1] if cand.split() else ""))
+                .strip().lower()
+            )
+        groups: dict[str, list[int]] = {}
+        for i, f in enumerate(finals):
+            groups.setdefault(f, []).append(i)
+        best = max(groups.values(), key=lambda g: (len(g), -g[0]), default=[])
+        return json.dumps(
+            {
+                "response": [str(i) for i in best],
+                "reasoning": f"largest agreeing group of {len(cands)} candidates",
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _same_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str) -> list[int]:
+        try:
+            return [int(x) for x in json.loads(r)["response"]]
+        except (json.JSONDecodeError, ValueError, KeyError, TypeError):
+            return []
+
+    return pd.DataFrame(
+        {
+            "agreeing_indices": raw.fillna("").map(load),
+            "verification_reasoning": raw.fillna("").map(
+                lambda r: str(json.loads(r).get("reasoning", ""))
+                if r.startswith("{") else ""
+            ),
+        }
+    )
+
+
+def _make_same_map(name: str, subject: str) -> RichMap:
+    return RichMap(
+        name=name,
+        input_cols=["question", "responses_json"],
+        build_prompt=lambda c: (
+            f"Given the {subject} question and candidate responses, return "
+            "the indices of responses whose final answers agree.\nQuestion: "
+            + c["question"].fillna("")
+            + "\nCandidates: " + c["responses_json"].fillna("[]")
+        ),
+        parse_response=_same_parse,
+        out_schema=(
+            "`agreeing_indices` array<int>, `verification_reasoning` string"
+        ),
+        mock=_same_mock,
+    )
+
+
+MATH_SAME_MAP = _make_same_map("math_same", "math")
+CODE_SAME_MAP = _make_same_map("code_same", "code")
+SCIENCE_SAME_MAP = _make_same_map("science_same", "science")
+
+
+# --- SkyT1 difficulty variants (ICPC / science rubrics, same 1-10 parse) ---
+
+def _make_difficulty_variant(name: str, rubric: str) -> RichMap:
+    return RichMap(
+        name=name,
+        input_cols=["problem"],
+        build_prompt=lambda c: (
+            f"Grade the difficulty of this {rubric} problem from 1 to 10 "
+            "and explain. Respond as JSON {\"difficulty\": n, \"reasoning\":"
+            " ...}.\nProblem: " + c["problem"].fillna("")
+        ),
+        parse_response=_difficulty_parse,
+        out_schema="`difficulty` int, `difficulty_reasoning` string",
+        mock=_difficulty_mock,
+    )
+
+
+SKY_T1_ICPC_DIFFICULTY_MAP = _make_difficulty_variant(
+    "sky_t1_ICPC_difficulty", "competitive-programming (ICPC)"
+)
+SKY_T1_SCIENCE_DIFFICULTY_MAP = _make_difficulty_variant(
+    "sky_t1_science_difficulty", "science"
+)
+
+
+# --- DeepSeekR1 judge + code-golf extractor ---
+
+def _deepseek_judge_mock(prompts: pd.Series) -> pd.Series:
+    """Actually judges: correct iff the ground truth string occurs in the
+    attempt (same posture as the judge map), verdict boxed."""
+
+    def gen(p: str) -> str:
+        m = re.search(r"Ground truth: (.*)\nAttempt: (.*)$", p, re.S)
+        ok = bool(m) and m.group(1).strip() != "" and m.group(1).strip() in m.group(2)
+        word = "correct" if ok else "incorrect"
+        return f"Checked the attempt [{_digest(p)}]. \\boxed{{{word}}}"
+
+    return prompts.fillna("").map(gen)
+
+
+def _deepseek_judge_parse(raw: pd.Series) -> pd.DataFrame:
+    boxed = raw.fillna("").str.extract(r"\\boxed\{(\w+)\}", expand=False)
+    return pd.DataFrame(
+        {
+            "correct": boxed == "correct",
+            "judge_reasoning": raw.fillna(""),
+        }
+    )
+
+
+DEEPSEEK_JUDGE_MAP = RichMap(
+    name="deepseek_judge",
+    input_cols=["question", "golden_answer", "attempt"],
+    build_prompt=lambda c: (
+        "Judge whether the attempt answers the question correctly; end "
+        "with \\boxed{correct} or \\boxed{incorrect}.\nQuestion: "
+        + c["question"].fillna("")
+        + "\nGround truth: " + c["golden_answer"].fillna("")
+        + "\nAttempt: " + c["attempt"].fillna("")
+    ),
+    parse_response=_deepseek_judge_parse,
+    out_schema="`correct` boolean, `judge_reasoning` string",
+    mock=_deepseek_judge_mock,
+)
+
+
+_CODE_BLOCK_RE = re.compile(r"```(?:python)?\n(.*?)```", re.S)
+
+
+def _code_golf_mock(prompts: pd.Series) -> pd.Series:
+    """Actually extracts: wraps the solution's code block as a runnable
+    stdin/stdout script (code_golf_extractor.py contract)."""
+
+    def gen(p: str) -> str:
+        m = _CODE_BLOCK_RE.search(p)
+        body = m.group(1).strip() if m else "pass"
+        return (
+            "```python\nimport sys\n" + body
+            + "\nfor line in sys.stdin: print(run(line.rstrip()))\n```"
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+CODE_GOLF_EXTRACTOR_MAP = RichMap(
+    name="code_golf_extractor",
+    input_cols=["solution"],
+    build_prompt=lambda c: (
+        "Rewrite this code-golf solution as a Python script reading stdin "
+        "and printing results.\n" + c["solution"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "code": raw.fillna("").map(
+                lambda r: (_CODE_BLOCK_RE.search(r).group(1).strip()
+                           if _CODE_BLOCK_RE.search(r) else r.strip())
+            )
+        }
+    ),
+    out_schema="`code` string",
+    mock=_code_golf_mock,
+)
+
+
+# --- Airoboros family (contextual / counterfactual / experience / list_qa) ---
+
+def _contextual_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        return json.dumps(
+            {
+                "prompts": [
+                    {
+                        "text_blocks": [
+                            {
+                                "metadata": {"source": f"doc-{d}"},
+                                "content": f"Context paragraph about {d}.",
+                            }
+                        ],
+                        "instruction": f"Using the context, summarize {d}.",
+                    }
+                ]
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _contextual_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str) -> tuple[str, str]:
+        try:
+            p = json.loads(r)["prompts"][0]
+            ctx = "\n".join(b["content"] for b in p["text_blocks"])
+            return ctx, str(p["instruction"])
+        except (json.JSONDecodeError, ValueError, KeyError, IndexError, TypeError):
+            return "", ""
+
+    pairs = raw.fillna("").map(load)
+    return pd.DataFrame(
+        {
+            "context": pairs.map(lambda t: t[0]),
+            "contextual_instruction": pairs.map(lambda t: t[1]),
+        }
+    )
+
+
+CONTEXTUAL_INSTRUCTIONS_MAP = RichMap(
+    name="contextual_instructions",
+    input_cols=["seed_prompt"],
+    build_prompt=lambda c: c["seed_prompt"].fillna(""),
+    parse_response=_contextual_parse,
+    out_schema="`context` string, `contextual_instruction` string",
+    mock=_contextual_mock,
+)
+
+
+COUNTERFACTUAL_CONTEXTUAL_MAP = RichMap(
+    name="counterfactual_contextual_instructions",
+    input_cols=["seed_prompt"],
+    build_prompt=lambda c: (
+        "Generate a context block containing a deliberately FALSE premise "
+        "plus an instruction that can only be answered from that context.\n"
+        + c["seed_prompt"].fillna("")
+    ),
+    parse_response=_contextual_parse,
+    out_schema="`context` string, `contextual_instruction` string",
+    mock=_contextual_mock,
+)
+
+
+def _experience_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        return json.dumps(
+            {
+                "setting": f"A quiet observatory at dusk [{d}].",
+                "instruction": f"Describe what you observe in scene {d}.",
+                "experience": f"You watch the sky over scene {d} darken slowly.",
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+def _experience_parse(raw: pd.Series) -> pd.DataFrame:
+    def load(r: str, key: str) -> str:
+        try:
+            return str(json.loads(r).get(key, ""))
+        except (json.JSONDecodeError, ValueError):
+            return ""
+
+    return pd.DataFrame(
+        {
+            "experience_instruction": raw.fillna("").map(
+                lambda r: load(r, "instruction")
+            ),
+            "experience_response": raw.fillna("").map(
+                lambda r: load(r, "experience")
+            ),
+        }
+    )
+
+
+EXPERIENCE_MAP = RichMap(
+    name="experience",
+    input_cols=["seed_prompt"],
+    build_prompt=lambda c: c["seed_prompt"].fillna(""),
+    parse_response=_experience_parse,
+    out_schema="`experience_instruction` string, `experience_response` string",
+    mock=_experience_mock,
+)
+
+
+def _list_qa_mock(prompts: pd.Series) -> pd.Series:
+    """Actually answers from context: items are the comma-separated values
+    following 'items:' in the context."""
+
+    def gen(p: str) -> str:
+        m = re.search(r"items:\s*([^\n]+)", p, re.I)
+        items = [x.strip() for x in (m.group(1).split(",") if m else []) if x.strip()]
+        return json.dumps(items)
+
+    return prompts.fillna("").map(gen)
+
+
+LIST_QA_MAP = RichMap(
+    name="list_qa",
+    input_cols=["context", "question"],
+    build_prompt=lambda c: (
+        "Answer the question as a JSON list using only the context.\n"
+        "Context: " + c["context"].fillna("")
+        + "\nQuestion: " + c["question"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "answer_list": raw.fillna("[]").map(
+                lambda r: [str(x) for x in json.loads(r)]
+                if r.startswith("[") else []
+            )
+        }
+    ),
+    out_schema="`answer_list` array<string>",
+    mock=_list_qa_mock,
+)
+
+
+# --- open_gpt + WebInstruct classify/revise ---
+
+def _open_gpt_mock(prompts: pd.Series) -> pd.Series:
+    def gen(p: str) -> str:
+        d = _digest(p)
+        return json.dumps(
+            {
+                "instruction": f"Discuss the topic {d} with a patient.",
+                "response": f"Certainly — regarding {d}, here is an overview.",
+            }
+        )
+
+    return prompts.fillna("").map(gen)
+
+
+OPEN_GPT_MAP = RichMap(
+    name="open_gpt",
+    input_cols=["seed_prompt"],
+    build_prompt=lambda c: c["seed_prompt"].fillna(""),
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "instruction": raw.fillna("").map(
+                lambda r: str(json.loads(r).get("instruction", ""))
+                if r.startswith("{") else ""
+            ),
+            "response": raw.fillna("").map(
+                lambda r: str(json.loads(r).get("response", ""))
+                if r.startswith("{") else ""
+            ),
+        }
+    ),
+    out_schema="`instruction` string, `response` string",
+    mock=_open_gpt_mock,
+)
+
+
+_EDU_DOMAINS = [
+    "mathematics", "physics", "chemistry", "biology", "engineering",
+    "computer science", "economics", "other",
+]
+
+_DOMAIN_HINTS = {
+    "mathematics": re.compile(r"(?i)(math|equation|integral|algebra|geometry)"),
+    "physics": re.compile(r"(?i)(physics|velocity|quantum|force|energy)"),
+    "chemistry": re.compile(r"(?i)(chemi|molecule|reaction|acid)"),
+    "biology": re.compile(r"(?i)(bio|cell|gene|organism)"),
+    "engineering": re.compile(r"(?i)(engineer|circuit|mechanical)"),
+    "computer science": re.compile(r"(?i)(algorithm|program|software|code)"),
+    "economics": re.compile(r"(?i)(econom|market|price|demand)"),
+}
+
+
+def _classify_domain_mock(prompts: pd.Series) -> pd.Series:
+    """Actually classifies by keyword family; 'other' when nothing hits.
+    Scans only the document body (after the instruction line — which
+    itself names every domain)."""
+
+    def gen(p: str) -> str:
+        body = p.split(".\n", 1)[-1]
+        for dom, pat in _DOMAIN_HINTS.items():
+            if pat.search(body):
+                return dom
+        return "other"
+
+    return prompts.fillna("").map(gen)
+
+
+CLASSIFY_EDUCATIONAL_DOMAIN_MAP = RichMap(
+    name="webinstruct_classify_educational_domain",
+    input_cols=["text"],
+    build_prompt=lambda c: (
+        "Classify the educational domain of this document as one of: "
+        + ", ".join(_EDU_DOMAINS) + ".\n" + c["text"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "educational_domain": raw.fillna("").str.strip().str.lower().map(
+                lambda d: d if d in _EDU_DOMAINS else "other"
+            )
+        }
+    ),
+    out_schema="`educational_domain` string",
+    mock=_classify_domain_mock,
+)
+
+
+REVISE_QA_MAP = RichMap(
+    name="webinstruct_revise_qa",
+    input_cols=["question", "answer"],
+    build_prompt=lambda c: (
+        "Revise the question and answer for clarity and completeness; "
+        "respond as JSON {\"question\": ..., \"answer\": ...}.\nQuestion: "
+        + c["question"].fillna("") + "\nAnswer: " + c["answer"].fillna("")
+    ),
+    parse_response=lambda raw: pd.DataFrame(
+        {
+            "revised_question": raw.fillna("").map(
+                lambda r: str(json.loads(r).get("question", ""))
+                if r.startswith("{") else ""
+            ),
+            "revised_answer": raw.fillna("").map(
+                lambda r: str(json.loads(r).get("answer", ""))
+                if r.startswith("{") else ""
+            ),
+        }
+    ),
+    out_schema="`revised_question` string, `revised_answer` string",
+    mock=lambda p: p.fillna("").map(
+        lambda x: json.dumps(
+            {
+                "question": x.rsplit("Question: ", 1)[-1]
+                .split("\nAnswer: ")[0].strip().rstrip("?") + "? (revised)",
+                "answer": x.rsplit("Answer: ", 1)[-1].strip()
+                + " In summary, this fully addresses the question.",
+            }
+        )
+    ),
+)
+
+
 MAPS: dict[str, RichMap] = {
     m.name: m
     for m in (
@@ -992,6 +1620,15 @@ MAPS: dict[str, RichMap] = {
         TEST_CASE_MAP, UNNATURAL_INSTRUCTIONS_MAP, URL_CLASSIFY_MAP,
         GEMINI_OCR_MAP, EXTRACT_QA_MAP,
         AUTO_EVOL_LLM_MAP, EVOL_PROMPT_EVOLVER_MAP, TRAJECTORY_ANALYSIS_MAP,
+        METAMATH_INVERSE_QUESTION_MAP, METAMATH_REPHRASE_MAP,
+        METAMATH_SELF_VERIFICATION_MAP, METAMATH_SOLVE_INVERSE_MAP,
+        METAMATH_SOLVE_REPHRASED_MAP, METAMATH_PROBLEM_CLONE_MAP,
+        MATH_SAME_MAP, CODE_SAME_MAP, SCIENCE_SAME_MAP,
+        SKY_T1_ICPC_DIFFICULTY_MAP, SKY_T1_SCIENCE_DIFFICULTY_MAP,
+        DEEPSEEK_JUDGE_MAP, CODE_GOLF_EXTRACTOR_MAP,
+        CONTEXTUAL_INSTRUCTIONS_MAP, COUNTERFACTUAL_CONTEXTUAL_MAP,
+        EXPERIENCE_MAP, LIST_QA_MAP,
+        OPEN_GPT_MAP, CLASSIFY_EDUCATIONAL_DOMAIN_MAP, REVISE_QA_MAP,
     )
 }
 

@@ -214,3 +214,140 @@ def test_auto_evol_trio_roundtrip(spark):
         MAPS["auto_evol_prompt_evolver"],
     ).collect()[0]
     assert ev["evol_prompt_evolved"].startswith("Evolve the instruction")
+
+
+def test_metamath_inversion_loop(spark):
+    from open_thoughts_spark.operators.maps import (
+        MAPS, apply_map, metamath_inverse_expand,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "A train travels 120 miles in 3 hours. What is its speed?", "40")],
+        "qid int, question string, answer string",
+    )
+    inv = metamath_inverse_expand(
+        apply_map(base, MAPS["metamath_inverse_question"])
+    ).collect()
+    assert len(inv) == 2  # quantities 120 and 3
+    answers = {r["inverse_answer"] for r in inv}
+    assert answers == {"120", "3"}
+    assert all("X" in r["inverse_question"] for r in inv)
+
+    reph = apply_map(base, MAPS["metamath_rephrase_question"]).collect()[0]
+    assert reph["rephrased_question"].startswith("Consider the following:")
+
+    decl = apply_map(base, MAPS["metamath_self_verification"]).collect()[0]
+    assert decl["declarative_statement"].endswith("is 40.")
+
+    clone = apply_map(base, MAPS["metamath_problem_clone"]).collect()[0]
+    assert "121 miles" in clone["cloned_question"]  # every number bumped
+
+    solved = apply_map(
+        spark.createDataFrame(
+            [(1, "A train travels X miles in 3 hours at 40 mph.", "120")],
+            "qid int, inverse_question string, inverse_answer string",
+        ),
+        MAPS["metamath_solve_inverse"],
+    ).collect()[0]
+    assert solved["predicted_answer"] in ("120", "1200")
+    assert solved["solution"].startswith("Worked")
+
+
+def test_autoverification_consistency_vote(spark):
+    import json as _json
+
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    df = spark.createDataFrame(
+        [
+            (1, "what is 2+2?", _json.dumps(
+                ["steps... answer: 4", "thus answer: 4", "answer: 5"])),
+        ],
+        "qid int, question string, responses_json string",
+    )
+    for name in ("math_same", "code_same", "science_same"):
+        row = apply_map(df, MAPS[name]).collect()[0]
+        assert row["agreeing_indices"] == [0, 1]
+        assert "agreeing group" in row["verification_reasoning"]
+
+
+def test_deepseek_judge_and_code_golf(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    j = apply_map(
+        spark.createDataFrame(
+            [(1, "2+2?", "4", "the answer is 4"),
+             (2, "2+2?", "4", "the answer is 5")],
+            "qid int, question string, golden_answer string, attempt string",
+        ),
+        MAPS["deepseek_judge"],
+    ).collect()
+    got = {r["qid"]: r["correct"] for r in j}
+    assert got == {1: True, 2: False}
+    assert all("\\boxed{" in r["judge_reasoning"] for r in j)
+
+    g = apply_map(
+        spark.createDataFrame(
+            [(1, "golfed:\n```python\nrun=lambda s:s[::-1]\n```")],
+            "sid int, solution string",
+        ),
+        MAPS["code_golf_extractor"],
+    ).collect()[0]
+    assert g["code"].startswith("import sys")
+    assert "run=lambda" in g["code"]
+
+
+def test_airoboros_and_webinstruct_family(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    seeds = spark.createDataFrame([(1, "make a scene")],
+                                  "sid int, seed_prompt string")
+    ctx = apply_map(seeds, MAPS["contextual_instructions"]).collect()[0]
+    assert ctx["context"].startswith("Context paragraph")
+    assert ctx["contextual_instruction"].startswith("Using the context")
+
+    exp = apply_map(seeds, MAPS["experience"]).collect()[0]
+    assert exp["experience_instruction"].startswith("Describe")
+    assert exp["experience_response"]
+
+    qa = apply_map(
+        spark.createDataFrame(
+            [(1, "inventory items: apples, pears, plums", "what items?")],
+            "cid int, context string, question string",
+        ),
+        MAPS["list_qa"],
+    ).collect()[0]
+    assert qa["answer_list"] == ["apples", "pears", "plums"]
+
+    dom = apply_map(
+        spark.createDataFrame(
+            [(1, "solve the integral of x squared"),
+             (2, "the cell divides by mitosis"),
+             (3, "a story about nothing in particular")],
+            "did int, text string",
+        ),
+        MAPS["webinstruct_classify_educational_domain"],
+    ).collect()
+    got = {r["did"]: r["educational_domain"] for r in dom}
+    assert got == {1: "mathematics", 2: "biology", 3: "other"}
+
+    rev = apply_map(
+        spark.createDataFrame(
+            [(1, "what is gravity", "a force")],
+            "qid int, question string, answer string",
+        ),
+        MAPS["webinstruct_revise_qa"],
+    ).collect()[0]
+    assert rev["revised_question"].endswith("? (revised)")
+    assert rev["revised_answer"].startswith("a force")
+
+    og = apply_map(seeds, MAPS["open_gpt"]).collect()[0]
+    assert og["instruction"].startswith("Discuss")
+
+    for name in ("sky_t1_ICPC_difficulty", "sky_t1_science_difficulty"):
+        d = apply_map(
+            spark.createDataFrame([(1, "hard problem")],
+                                  "pid int, problem string"),
+            MAPS[name],
+        ).collect()[0]
+        assert 1 <= d["difficulty"] <= 10
