@@ -1117,10 +1117,14 @@ def sql_minhash_signatures():
 def q_minhash_pairs(spark, sf_dir):
     """LSH candidate pairs (4 bands × 2 rows over 8 perms) + exact Jaccard."""
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(docs, "doc_id", "text", num_perm=8, shingle_n=3)
+    sig = dedup.minhash_signature(
+        docs, "doc_id", "text", num_perm=8, shingle_n=3, min_parallelism=32
+    )
     bands = dedup.lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
     cands = dedup.candidate_pairs(bands, "doc_id")
-    verified = dedup.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, pairs=cands)
+    verified = dedup.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, pairs=cands, min_parallelism=32
+    )
     return verified.select(
         "id_a", "id_b", "common", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard_r6")
     )
@@ -1159,7 +1163,7 @@ def q_minhash_dedup_kept(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.minhash_dedup(
         docs, "doc_id", "text", min_jaccard=0.2, num_perm=8, shingle_n=3,
-        transitive=True, bands=4, rows_per_band=2,
+        transitive=True, bands=4, rows_per_band=2, min_parallelism=32,
     )
     return kept.select("doc_id")
 
@@ -2031,7 +2035,7 @@ def q_simhash_bandblock(spark, sf_dir):
     the UNBLOCKED all-pairs hamming<=3 truth, so the gate also proves the
     pigeonhole band join loses no pairs."""
     docs = _t(spark, sf_dir, "documents")
-    fp = dedup.simhash32(docs, "doc_id", "text")
+    fp = dedup.simhash32(docs, "doc_id", "text", min_parallelism=32)
     return dedup.simhash_neardup_pairs(fp, "doc_id", max_hamming=3, bands=4)
 
 
@@ -2052,7 +2056,7 @@ def q_simhash64_bandblock(spark, sf_dir):
     The oracle is the UNBLOCKED all-pairs hamming<=3 truth over the same
     64-bit fingerprint, so the gate proves the pigeonhole join is lossless."""
     docs = _t(spark, sf_dir, "documents")
-    fp = dedup.simhash64(docs, "doc_id", "text")
+    fp = dedup.simhash64(docs, "doc_id", "text", min_parallelism=32)
     return dedup.simhash64_neardup_pairs(fp, "doc_id", max_hamming=3)
 
 
