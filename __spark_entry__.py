@@ -1681,7 +1681,8 @@ def q_embedding_neardup(spark, sf_dir):
     ~0.47; 0.6 returned 0 rows and made the gate vacuous — VERDICT r1)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(
-        emb, "vec_id", "embedding", min_cosine=0.4, block_col="label"
+        emb, "vec_id", "embedding", min_cosine=0.4, block_col="label",
+        min_parallelism=32,
     )
 
 
@@ -1708,7 +1709,8 @@ def q_embedding_neardup_lsh(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), n_planes=4
     )
     return similarity.cosine_pairs(
-        emb, "vec_id", "embedding", min_cosine=0.4, block_col="lsh_bucket"
+        emb, "vec_id", "embedding", min_cosine=0.4, block_col="lsh_bucket",
+        min_parallelism=32,
     )
 
 
@@ -1753,7 +1755,8 @@ def q_embedding_neardup_banded(spark, sf_dir):
     keys and pair set, so the gate value-checks the banding itself."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_banded(
-        emb, "vec_id", "embedding", min_cosine=0.4, n_planes=6, bands=3
+        emb, "vec_id", "embedding", min_cosine=0.4, n_planes=6, bands=3,
+        min_parallelism=32,
     )
 
 

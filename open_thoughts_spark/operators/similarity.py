@@ -117,9 +117,16 @@ def cosine_pairs(
     vec_col: str,
     min_cosine: float,
     block_col: str | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold, optionally only
-    within ``block_col`` blocks (embedding-based near-dup detection)."""
+    within ``block_col`` blocks (embedding-based near-dup detection).
+
+    ``min_parallelism``: a single-file input gives the broadcast pair join
+    a one-partition probe side — the whole cosine compute in one task;
+    repartitioning the base spreads it."""
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism, F.col(id_col))
     base = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -152,6 +159,7 @@ def cosine_pairs_banded(
     min_cosine: float,
     n_planes: int = 48,
     bands: int = 8,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold, candidate-blocked
     by BANDED random-hyperplane LSH: a pair is a candidate iff it agrees on
@@ -169,6 +177,8 @@ def cosine_pairs_banded(
     """
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism, F.col(id_col))
     width = n_planes // bands
     mask = F.lit((1 << width) - 1)
     sig = with_lsh_bucket(df, vec_col, n_planes=n_planes, out_col="_sig")
