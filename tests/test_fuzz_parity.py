@@ -39,6 +39,11 @@ TARGETED = [
     "ends with backslash \\", "\\d+ regex literal", "<|endoftext|>",
     "http://x.y [image]", "el la los que es como por una para",
     "der die das und ist nicht", "一二三四五", None,
+    # adjacent boundary-consuming PII (r3 two-pass fixpoint): both masked
+    "pair 10.0.0.1 10.0.0.2 end", "call 555-123-4567 555-987-6543",
+    "run 10.0.0.1 10.0.0.2 10.0.0.3 10.0.0.4 done",
+    "cards 4111-1111-1111-1111 5222-2222-2222-2222 x",
+    "tel.555-123-4567 and x-555-987-6543",  # leading ./- excluded: leaks, same in all engines
     # ASCII-vs-Unicode word-boundary regressions (ADVICE r1): \w/\s/\b
     # must behave identically in Spark (Java), pandas (re.ASCII) and DuckDB
     "cannot hélp with that", "unable to cópe with your plan",
