@@ -626,3 +626,77 @@ def simhash64_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = config.SHINGLE_SIZE,
+    min_jaccard: float = 0.0,
+    pairs: DataFrame | None = None,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED Jaccard over shingle multisets:
+    J_w(a, b) = sum_s min(tf_a(s), tf_b(s)) / sum_s max(tf_a(s), tf_b(s)).
+
+    The set-based :func:`jaccard_pairs` treats 'the cat the cat the cat'
+    and 'the cat' as identical; the weighted form keeps term multiplicity,
+    the similarity the ICWS / weighted-minhash family estimates — computed
+    here EXACTLY (integer tf sums, no sampling), so the DuckDB oracle can
+    replay it bit-for-bit. Candidates come from ``pairs`` (e.g. minhash
+    band collisions — a superset generator: band collision is on the
+    distinct-shingle set, and a high weighted score implies high set
+    overlap); without ``pairs`` all same-shingle pairs are scored.
+
+    Identity: sum(max) = |a| + |b| - sum(min) with |x| = total shingle
+    count, so one join computing sum-of-mins + per-doc totals suffices.
+    Returns (id_a, id_b, common_w, size_a, size_b, jaccard_w).
+    """
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism, F.col(id_col))
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                shingles_expr(F.col(text_col), shingle_n, distinct=False)
+            ).alias("_sh"),
+        )
+        .groupBy(id_col, "_sh")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    sizes = tf.groupBy(id_col).agg(F.sum("_tf").alias("_n"))
+    tf_a = tf.select(F.col(id_col).alias("id_a"), "_sh", F.col("_tf").alias("_tfa"))
+    tf_b = tf.select(F.col(id_col).alias("id_b"), "_sh", F.col("_tf").alias("_tfb"))
+    if pairs is not None:
+        mins = (
+            pairs.join(tf_a, on="id_a")
+            .join(tf_b, on=["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("_tfa", "_tfb")).alias("common_w"))
+        )
+    else:
+        mins = (
+            tf_a.join(tf_b, on="_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("_tfa", "_tfb")).alias("common_w"))
+        )
+    out = (
+        mins.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "size_a"),
+            on="id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "size_b"),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard_w",
+            F.col("common_w")
+            / (F.col("size_a") + F.col("size_b") - F.col("common_w")),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard_w") >= min_jaccard)
+    return out.select("id_a", "id_b", "common_w", "size_a", "size_b", "jaccard_w")

@@ -327,3 +327,35 @@ def test_banded_lsh_recall_beats_single_bucket(spark):
     assert got <= true_pairs  # exact verify: no false positives
     assert len(true_pairs) >= 20
     assert len(got) / len(true_pairs) >= 0.95  # ~0.997 expected recall
+
+
+def test_weighted_jaccard_multiplicity_sensitive(spark):
+    """Weighted Jaccard must separate texts the set-based score calls
+    identical: repetition changes tf but not the shingle set."""
+    rows = [
+        (1, "the cat sat on the mat today okay"),
+        (2, "the cat sat on the mat today okay "
+            "the cat sat on the mat today okay "
+            "the cat sat on the mat today okay"),
+        (3, "the cat sat on the mat today okay"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.weighted_jaccard_pairs(
+            df, "id", "text", shingle_n=2
+        ).collect()
+    }
+    # identical texts: weighted jaccard exactly 1
+    assert out[(1, 3)]["jaccard_w"] == 1.0
+    # set-based jaccard of (1,2) is ~1 (near-same shingle set), weighted is
+    # pulled down by the tripled multiplicities
+    setj = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, "id", "text", shingle_n=2).collect()
+    }
+    assert setj[(1, 2)] > 0.85
+    assert out[(1, 2)]["jaccard_w"] < 0.45
+    # identity: sum(max) = size_a + size_b - sum(min)
+    r = out[(1, 2)]
+    assert 0 < r["common_w"] <= min(r["size_a"], r["size_b"])
