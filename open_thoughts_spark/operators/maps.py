@@ -3,7 +3,7 @@
 The reference ships ~60 map classes, each a (prompt builder, response
 parser) pair run through the completions operator
 (/root/reference/open_thoughts_3/engine/maps/map_registry.py:1-112).
-Forty-two map shapes are reproduced here against the mock backend (the
+Forty-eight registry keys (incl. per-provider reasoner variants sharing one shape) are reproduced here against the mock backend (the
 MOCK_VERIFY test posture — open_thoughts/math/judge.py:46-49), covering the
 registry's families: judge/scorer/critic/ranker/fuser evaluation, chat +
 reasoner shapes (DeepSeek judge incl. boxed-verdict parse), structured
@@ -224,6 +224,29 @@ REASON_MAP = RichMap(
     out_schema="`reasoning` string, `solution` string",
     mock=_reason_mock,
 )
+
+
+def _reasoner_variant(name: str) -> RichMap:
+    """The registry's per-provider reasoners (deepseek/kluster_deepseek/
+    claude/grok/together_qwen — map_registry.py:66-90) share one map shape:
+    think-trace + final answer; only the completions BACKEND differs, which
+    in this harness is the pluggable ``backend=`` argument of apply_map.
+    Registering them as named variants keeps reference configs portable."""
+    return RichMap(
+        name=name,
+        input_cols=["problem"],
+        build_prompt=_reason_prompt,
+        parse_response=_reason_parse,
+        out_schema="`reasoning` string, `solution` string",
+        mock=_reason_mock,
+    )
+
+
+DEEPSEEK_REASONER_MAP = _reasoner_variant("deepseek_reasoner")
+KLUSTER_DEEPSEEK_REASONER_MAP = _reasoner_variant("kluster_deepseek_reasoner")
+CLAUDE_REASONER_MAP = _reasoner_variant("claude_reasoner")
+GROK_REASONER_MAP = _reasoner_variant("grok_reasoner")
+TOGETHER_QWEN_MAP = _reasoner_variant("together_qwen")
 
 
 # --- chat (ChatMap: the plain system+user -> completion shape) ---
@@ -1629,8 +1652,13 @@ MAPS: dict[str, RichMap] = {
         CONTEXTUAL_INSTRUCTIONS_MAP, COUNTERFACTUAL_CONTEXTUAL_MAP,
         EXPERIENCE_MAP, LIST_QA_MAP,
         OPEN_GPT_MAP, CLASSIFY_EDUCATIONAL_DOMAIN_MAP, REVISE_QA_MAP,
+        DEEPSEEK_REASONER_MAP, KLUSTER_DEEPSEEK_REASONER_MAP,
+        CLAUDE_REASONER_MAP, GROK_REASONER_MAP, TOGETHER_QWEN_MAP,
     )
 }
+# registry-key alias: the reference registers ExtractMathAnswerMap as
+# 'metamath_extract_math_answer' (map_registry.py:100)
+MAPS["metamath_extract_math_answer"] = EXTRACT_ANSWER_MAP
 
 
 def apply_map(
