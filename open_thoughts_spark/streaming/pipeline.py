@@ -84,3 +84,73 @@ def streaming_drop_metrics(
         )
         .agg(F.count("*").alias("rows"))
     )
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose normalized-text md5 was
+    already seen. With ``ts_col``, state is bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates farther apart than the
+    watermark can both survive, the standard bounded-state trade); without
+    it, state grows with distinct keys (only for bounded backfills).
+
+    The md5 key (not the text) is what the state store holds — constant
+    bytes per distinct document regardless of document size.
+    """
+    # same normalization as the batch exact_dedup_normalized: lowercase +
+    # collapsed whitespace runs
+    keyed = stream_df.withColumn(
+        "_dk",
+        F.md5(
+            F.lower(
+                F.regexp_replace(
+                    F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " "
+                )
+            )
+        ),
+    )
+    keys = (key_cols or []) + ["_dk"]
+    if ts_col is not None:
+        deduped = keyed.withWatermark(ts_col, watermark)
+        deduped = deduped.dropDuplicatesWithinWatermark(keys)
+    else:
+        deduped = keyed.dropDuplicates(keys)
+    return deduped.drop("_dk")
+
+
+def stream_decontaminate(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming n-gram decontamination: drop stream rows sharing any word
+    n-gram with a STATIC eval set (stream-static left_anti join — the eval
+    n-gram set is small and broadcast to every micro-batch; no streaming
+    state at all).
+
+    Implementation note: a streaming explode + left_anti + re-aggregate
+    would need the full row back; instead the contamination test is an
+    ``arrays_overlap`` against the broadcast eval-gram ARRAY — one narrow
+    predicate per row, no shuffle, no state."""
+    from open_thoughts_spark.operators.dedup import shingles_expr
+
+    etc = eval_text_col or text_col
+    eval_grams = [
+        r["_g"]
+        for r in eval_df.select(
+            F.explode(shingles_expr(F.col(etc), n)).alias("_g")
+        ).distinct().collect()
+    ]
+    if not eval_grams:
+        return stream_df
+    grams = shingles_expr(F.col(text_col), n)
+    return stream_df.filter(
+        ~F.arrays_overlap(grams, F.array(*[F.lit(g) for g in eval_grams]))
+    )

@@ -38,3 +38,75 @@ def test_streaming_metrics_plan_is_streaming(spark, transcripts_path):
     agg = streaming_drop_metrics(stream, window="1 hour", watermark="2 hours")
     assert agg.isStreaming
     assert set(agg.columns) == {"time_window", "reason", "rows"}
+
+
+def test_stream_exact_dedup_drops_repeats(spark, tmp_path):
+    """Streaming dedup keeps the first occurrence of each normalized text
+    per conversation and drops later repeats, matching the batch
+    exact-dedup decision set."""
+    import pandas as pd
+
+    from open_thoughts_spark.streaming.pipeline import stream_exact_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "Hello   THERE"),  # dup after normalize
+        ("c1", 2, "user", "something else"),
+        ("c2", 0, "user", "hello there"),  # same text, other conversation
+    ]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).coalesce(1).write.parquet(str(src / "batch0"))
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string"
+        ).parquet(str(src / "*"))
+    )
+    out = stream_exact_dedup(stream, key_cols=["conv_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in spark.sql("select * from dedup_sink").collect()
+    )
+    assert got == [("c1", 0), ("c1", 2), ("c2", 0)]
+
+
+def test_stream_decontaminate_is_stateless_filter(spark, tmp_path):
+    from open_thoughts_spark.streaming.pipeline import stream_decontaminate
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    rows = [
+        (1, "the quick brown fox jumps over fences"),
+        (2, "completely unrelated sentence about shuffles"),
+    ]
+    spark.createDataFrame(rows, "doc_id int, text string").coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    evals = spark.createDataFrame(
+        [("the quick brown fox runs",)], "question string"
+    )
+    stream = spark.readStream.schema("doc_id int, text string").parquet(str(src / "*"))
+    out = stream_decontaminate(stream, evals, eval_text_col="question", n=3)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["doc_id"] for r in spark.sql("select * from decon_sink").collect()]
+    assert got == [2]
