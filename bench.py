@@ -64,6 +64,10 @@ HEADLINE = [
     # temporal operators (union+window as-of; streaming-shaped window agg)
     "events_asof_join",
     "events_tumbling_window",
+    # round-3 additions: 64-bit simhash with 16-bit band keys (packed-lane
+    # fingerprint agg), exact weighted-Jaccard verify over band candidates
+    "dedup_simhash64_bandblock",
+    "dedup_weighted_jaccard",
 ]
 
 

@@ -150,3 +150,64 @@ def sample_frames(
         df.withColumn("frame_ms", F.explode(frames))
         .select(id_col, "kind", "frame_ms", "payload", "meta")
     )
+
+
+def resize_kernel(
+    payload: bytes, width: int, height: int, deterministic_fake: bool
+) -> bytes:
+    """Image resize kernel. REAL decode/resize needs an image codec
+    (Pillow/opencv — not in this container); the deterministic fake
+    produces a payload whose bytes derive from (content md5, target dims)
+    so the plumbing is testable end to end and replayable."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; "
+            "plug Pillow/cv2 here (payload -> decode -> resize -> encode)"
+        )
+    import hashlib
+
+    seed = hashlib.md5(
+        bytes(payload or b"") + f"|{width}x{height}".encode()
+    ).digest()
+    reps = (width * height * 3) // len(seed) + 1
+    return (seed * reps)[: width * height * 3]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Distributed image resize: binary in → binary out at (width, height),
+    kind/meta preserved, meta.width/height updated. Arrow-batched
+    mapInPandas — payload bytes never hit the driver; non-image rows pass
+    through untouched. The codec itself is the stubbed kernel."""
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"{id_col} {dtypes[id_col]}, kind {dtypes['kind']}, "
+        f"{payload_col} binary, meta {dtypes['meta']}"
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, k in zip(pdf[payload_col], pdf["kind"]):
+                if k == "image":
+                    out.append(resize_kernel(p, width, height, deterministic_fake))
+                else:
+                    out.append(p)
+            pdf = pdf[[id_col, "kind", payload_col, "meta"]].copy()
+            pdf[payload_col] = out
+            pdf["meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                if k == "image" else m
+                for m, k in zip(pdf["meta"], pdf["kind"])
+            ]
+            yield pdf
+
+    return df.select(id_col, "kind", payload_col, "meta").mapInPandas(
+        _resize, schema=out_schema
+    )

@@ -359,3 +359,28 @@ def test_weighted_jaccard_multiplicity_sensitive(spark):
     # identity: sum(max) = size_a + size_b - sum(min)
     r = out[(1, 2)]
     assert 0 < r["common_w"] <= min(r["size_a"], r["size_b"])
+
+
+def test_resize_images_plumbing(spark):
+    """Distributed resize: image payloads re-encode at target dims with
+    meta updated; non-image rows pass through byte-identical; the whole
+    path is deterministic (fake codec kernel)."""
+    from open_thoughts_spark.multimodal.media import (
+        make_synthetic_media,
+        resize_images,
+    )
+
+    media = make_synthetic_media(spark, n=12)
+    out = resize_images(media, width=8, height=6).collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(out) == 12
+    for r in out:
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 8 * 6 * 3
+            assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+        else:
+            assert bytes(r["payload"]) == bytes(src[r["media_id"]]["payload"])
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=8, height=6).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)

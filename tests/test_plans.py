@@ -201,3 +201,45 @@ def test_filter_rank_null_scores_and_unique_scores(spark):
             .collect()
         )
         assert got == ref, frac
+
+
+def test_simhash64_band_join_not_cartesian(spark):
+    """The 64-bit band self-join must be an equi-join on (band_idx,
+    band_val) — never a cartesian/broadcast-nested-loop — and the
+    packed-lane fingerprint agg must stay a partial+final HashAggregate."""
+    from open_thoughts_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = dedup.simhash64(docs, "doc_id", "text")
+    plan = plan_of(dedup.simhash64_neardup_pairs(fp, "doc_id", materialize=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan
+    fplan = plan_of(fp)
+    assert fplan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_banded_cosine_pairs_not_cartesian(spark):
+    from open_thoughts_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        similarity.cosine_pairs_banded(emb, "vec_id", "embedding", 0.9)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_jaccard_uses_candidate_pushdown(spark):
+    """With candidate pairs given, the tf table must join THROUGH the pair
+    list (two joins) — no tf-x-tf self-join on hot shingles."""
+    from open_thoughts_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = plan_of(
+        dedup.weighted_jaccard_pairs(docs, "doc_id", "text", pairs=pairs)
+    )
+    assert "CartesianProduct" not in plan
+    # the _sh equality only appears joined together with an id key
+    assert "id_a" in plan and "id_b" in plan
