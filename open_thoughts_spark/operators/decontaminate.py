@@ -244,6 +244,8 @@ def benchmark_contaminated_ids(
     (combined_contaminated_ids kwargs pass through). Each benchmark's eval
     set is normalized through its registry entry, so per-benchmark column
     names bind correctly."""
+    if not eval_frames:
+        raise ValueError("eval_frames must name at least one benchmark")
     outs = []
     for name, frame in eval_frames.items():
         bench = EVAL_BENCHMARKS.get(name) or EvalBenchmark(name, ("text",))
@@ -276,10 +278,23 @@ def benchmark_contamination_report(
     **combined_kwargs,
 ) -> DataFrame:
     """Per-benchmark hit counts (benchmark, contaminated_count) — the
-    metrics table a production decontamination run logs per eval set."""
+    metrics table a production decontamination run logs per eval set.
+    Benchmarks with ZERO hits still emit a count-0 row (a clean benchmark
+    must appear in the metrics, and the DuckDB oracle always emits one
+    row per benchmark)."""
     ids = benchmark_contaminated_ids(
         pool, eval_frames, id_col, text_col, n=n, mode=mode, **combined_kwargs
     )
-    return ids.groupBy("benchmark").agg(
+    spark = pool.sparkSession
+    names = spark.createDataFrame(
+        [(n_,) for n_ in eval_frames], "benchmark string"
+    )
+    counts = ids.groupBy("benchmark").agg(
         F.count(F.lit(1)).alias("contaminated_count")
+    )
+    return names.join(counts, on="benchmark", how="left").select(
+        "benchmark",
+        F.coalesce(F.col("contaminated_count"), F.lit(0).cast("long")).alias(
+            "contaminated_count"
+        ),
     )

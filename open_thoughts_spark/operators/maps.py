@@ -62,6 +62,24 @@ def _digest(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:10]
 
 
+def _load_str_list(r: str) -> list[str]:
+    """Malformed real-backend output degrades to [] instead of killing the
+    Spark task (sibling-parser convention)."""
+    try:
+        v = json.loads(r)
+        return [str(x) for x in v] if isinstance(v, list) else []
+    except (json.JSONDecodeError, ValueError, TypeError):
+        return []
+
+
+def _load_json_field(r: str, key: str) -> str:
+    try:
+        v = json.loads(r)
+        return str(v.get(key, "")) if isinstance(v, dict) else ""
+    except (json.JSONDecodeError, ValueError, TypeError):
+        return ""
+
+
 # --- judge (judge_map.py LLM_JUDGE_SYSTEM_PROMPT contract) ---
 
 _JUDGE_PROMPT = (
@@ -622,12 +640,7 @@ GENERATOR_MAP = RichMap(
     input_cols=["request"],
     build_prompt=_list_prompt,
     parse_response=lambda raw: pd.DataFrame(
-        {
-            "generated": raw.fillna("[]").map(
-                lambda r: [str(x) for x in json.loads(r)]
-                if r.startswith("[") else []
-            )
-        }
+        {"generated": raw.fillna("[]").map(_load_str_list)}
     ),
     out_schema="`generated` array<string>",
     mock=_list_mock,
@@ -835,7 +848,9 @@ GEMINI_OCR_MAP = RichMap(
 
 # --- webinstruct_extract_qa (WebInstruct/extract_qa_map.py, row-expanding) ---
 
-_QA_PAT = re.compile(r"Q:\s*([^\n]+)\nA:\s*([^\n]+)")
+# explicit [ \t] (not \s — would span newlines and drift from the RE2
+# oracle pattern; repo dialect rule)
+_QA_PAT = re.compile(r"Q:[ \t]*([^\n]+)\nA:[ \t]*([^\n]+)")
 
 
 def _extract_qa_mock(prompts: pd.Series) -> pd.Series:
@@ -1237,8 +1252,7 @@ def _same_parse(raw: pd.Series) -> pd.DataFrame:
         {
             "agreeing_indices": raw.fillna("").map(load),
             "verification_reasoning": raw.fillna("").map(
-                lambda r: str(json.loads(r).get("reasoning", ""))
-                if r.startswith("{") else ""
+                lambda r: _load_json_field(r, "reasoning")
             ),
         }
     )
@@ -1501,12 +1515,7 @@ LIST_QA_MAP = RichMap(
         + "\nQuestion: " + c["question"].fillna("")
     ),
     parse_response=lambda raw: pd.DataFrame(
-        {
-            "answer_list": raw.fillna("[]").map(
-                lambda r: [str(x) for x in json.loads(r)]
-                if r.startswith("[") else []
-            )
-        }
+        {"answer_list": raw.fillna("[]").map(_load_str_list)}
     ),
     out_schema="`answer_list` array<string>",
     mock=_list_qa_mock,
@@ -1535,12 +1544,10 @@ OPEN_GPT_MAP = RichMap(
     parse_response=lambda raw: pd.DataFrame(
         {
             "instruction": raw.fillna("").map(
-                lambda r: str(json.loads(r).get("instruction", ""))
-                if r.startswith("{") else ""
+                lambda r: _load_json_field(r, "instruction")
             ),
             "response": raw.fillna("").map(
-                lambda r: str(json.loads(r).get("response", ""))
-                if r.startswith("{") else ""
+                lambda r: _load_json_field(r, "response")
             ),
         }
     ),
@@ -1610,12 +1617,10 @@ REVISE_QA_MAP = RichMap(
     parse_response=lambda raw: pd.DataFrame(
         {
             "revised_question": raw.fillna("").map(
-                lambda r: str(json.loads(r).get("question", ""))
-                if r.startswith("{") else ""
+                lambda r: _load_json_field(r, "question")
             ),
             "revised_answer": raw.fillna("").map(
-                lambda r: str(json.loads(r).get("answer", ""))
-                if r.startswith("{") else ""
+                lambda r: _load_json_field(r, "answer")
             ),
         }
     ),

@@ -235,6 +235,14 @@ def embedding_near_dup(
     it silently missed ~72% of qualifying pairs (ADVICE r2). Pass an
     explicit ``block_col`` for exact within-block semantics."""
     if block_col is None:
+        if lsh_planes % lsh_bands:
+            # legacy plane counts (e.g. the old default 12) stay valid:
+            # fall back to the largest band count <= lsh_bands dividing
+            # the plane count (12 planes, 8 bands -> 6 bands of 2 bits)
+            lsh_bands = max(
+                b for b in range(1, min(lsh_bands, lsh_planes) + 1)
+                if lsh_planes % b == 0
+            )
         losers = (
             cosine_pairs_banded(
                 df, id_col, vec_col, min_cosine,

@@ -70,6 +70,12 @@ def parse_dag(
     output_ids = _parse_into(
         config, frameworks, None, {}, (), sink
     )
+    ids = [o.id for o in sink]
+    dupes = sorted({i for i in ids if ids.count(i) > 1})
+    if dupes:
+        # catches a parent op literally named 'child::x' colliding with an
+        # inlined child op — the per-level checks see only a snapshot
+        raise DAGParseError(f"duplicate operator id: {dupes[0]}")
     known = {o.id for o in sink}
     for op in sink:
         for ref in op.input_ids:

@@ -131,14 +131,17 @@ def stream_decontaminate(
     n: int = 3,
 ) -> DataFrame:
     """Streaming n-gram decontamination: drop stream rows sharing any word
-    n-gram with a STATIC eval set (stream-static left_anti join — the eval
-    n-gram set is small and broadcast to every micro-batch; no streaming
-    state at all).
+    n-gram with a STATIC eval set; no streaming state at all.
 
     Implementation note: a streaming explode + left_anti + re-aggregate
-    would need the full row back; instead the contamination test is an
-    ``arrays_overlap`` against the broadcast eval-gram ARRAY — one narrow
-    predicate per row, no shuffle, no state."""
+    would need the full row back; instead the contamination test is one
+    narrow predicate per row — no shuffle, no state. Small eval sets
+    (<= 256 distinct grams) inline as an ``arrays_overlap`` literal array;
+    larger ones (a real benchmark is easily 20k+ grams, which would blow
+    up the expression tree / codegen) go through an Arrow-batched pandas
+    UDF holding the gram set in the task closure. NULL text is never
+    contaminated (matches batch ngram_decontaminate, which keeps
+    null-text rows)."""
     from open_thoughts_spark.operators.dedup import shingles_expr
 
     etc = eval_text_col or text_col
@@ -151,6 +154,24 @@ def stream_decontaminate(
     if not eval_grams:
         return stream_df
     grams = shingles_expr(F.col(text_col), n)
-    return stream_df.filter(
-        ~F.arrays_overlap(grams, F.array(*[F.lit(g) for g in eval_grams]))
-    )
+    if len(eval_grams) <= 256:
+        hit = F.arrays_overlap(
+            F.coalesce(grams, F.array()),
+            F.array(*[F.lit(g) for g in eval_grams]),
+        )
+        return stream_df.filter(~F.coalesce(hit, F.lit(False)))
+
+    import pandas as pd
+
+    gram_set = set(eval_grams)
+
+    @F.pandas_udf("boolean")
+    def _contaminated(col: pd.Series) -> pd.Series:
+        def check(arr) -> bool:
+            if arr is None:
+                return False
+            return any(g in gram_set for g in arr)
+
+        return col.map(check)
+
+    return stream_df.filter(~_contaminated(grams))
