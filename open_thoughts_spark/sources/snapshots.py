@@ -1,0 +1,134 @@
+"""Snapshot-versioned table writes — the Iceberg-shaped metadata layer.
+
+The reference's resumability hangs on operator-config hashes mapped to
+cached outputs (engine/dag.py:111-121 ancestor hashing; GCS cache sync in
+engine/data_syncer.py); on a real deployment this engine writes Iceberg
+tables and gets snapshots/time-travel from the catalog. Neither Iceberg nor
+a metastore exists in this sandbox, so this module implements the SAME
+metadata contract over plain parquet + JSON manifests:
+
+- every write creates an immutable ``snap-<id>`` data directory plus a
+  manifest recording parent snapshot, operation, file list, row count and
+  schema — appends REUSE the parent's files by reference (no rewrite),
+  exactly like Iceberg manifests;
+- reads resolve a snapshot (default: current) to its file list and load
+  only those files — time travel is reading an older snapshot id;
+- rollback just repoints ``current`` at an earlier snapshot (no data is
+  deleted — the same O(1) metadata operation as ``ALTER TABLE ... ROLLBACK``).
+
+At 100 TB the mechanism is unchanged: manifests stay tiny (file paths +
+stats), appends never rewrite data, and old snapshots age out via a
+retention sweep (not implemented — deletion policy is deployment-specific).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    """Filesystem-backed snapshot catalog: ``base/<table>/manifests/*.json``
+    + ``base/<table>/data/snap-<id>/part-*.parquet``."""
+
+    def __init__(self, base_path: str):
+        self.base = base_path
+
+    # --- paths ---
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def _manifest_path(self, table: str, snap_id: str) -> str:
+        return os.path.join(self._tdir(table), "manifests", f"{snap_id}.json")
+
+    def _current_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifests", "current")
+
+    # --- metadata ---
+
+    def current_snapshot(self, table: str) -> str | None:
+        p = self._current_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
+
+    def manifest(self, table: str, snap_id: str) -> dict:
+        with open(self._manifest_path(table, snap_id)) as f:
+            return json.load(f)
+
+    def history(self, table: str) -> list[dict]:
+        """Manifest chain, newest first, from the current snapshot."""
+        out = []
+        snap = self.current_snapshot(table)
+        while snap:
+            m = self.manifest(table, snap)
+            out.append(m)
+            snap = m.get("parent")
+        return out
+
+    # --- write / read / rollback ---
+
+    def write(
+        self, df: DataFrame, table: str, mode: str = "append"
+    ) -> str:
+        """Write a new snapshot; returns its id. ``append`` carries the
+        parent's file list forward by reference; ``overwrite`` starts a
+        fresh file list (old files stay on disk for time travel)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown snapshot mode: {mode}")
+        parent = self.current_snapshot(table)
+        ts = int(time.time() * 1000)
+        snap_id = hashlib.md5(
+            f"{table}|{parent}|{ts}|{df.schema.simpleString()}".encode()
+        ).hexdigest()[:16]
+        data_dir = os.path.join(self._tdir(table), "data", f"snap-{snap_id}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, fn)
+            for fn in os.listdir(data_dir)
+            if fn.endswith(".parquet")
+        )
+        files = list(new_files)
+        if mode == "append" and parent:
+            files = self.manifest(table, parent)["files"] + files
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent": parent,
+            "ts_ms": ts,
+            "operation": mode,
+            "files": files,
+            "new_files": new_files,
+            "schema": df.schema.simpleString(),
+        }
+        os.makedirs(os.path.dirname(self._manifest_path(table, snap_id)), exist_ok=True)
+        with open(self._manifest_path(table, snap_id), "w") as f:
+            json.dump(manifest, f, indent=1)
+        with open(self._current_path(table), "w") as f:
+            f.write(snap_id)
+        return snap_id
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Read the table at ``snapshot_id`` (default: current) — time
+        travel is passing an older id."""
+        snap = snapshot_id or self.current_snapshot(table)
+        if snap is None:
+            raise ValueError(f"table has no snapshots: {table}")
+        files = self.manifest(table, snap)["files"]
+        if not files:
+            raise ValueError(f"snapshot {snap} has no data files")
+        return spark.read.parquet(*files)
+
+    def rollback(self, table: str, snapshot_id: str) -> None:
+        """Repoint current at an earlier snapshot (metadata-only)."""
+        if not os.path.exists(self._manifest_path(table, snapshot_id)):
+            raise ValueError(f"unknown snapshot: {snapshot_id}")
+        with open(self._current_path(table), "w") as f:
+            f.write(snapshot_id)

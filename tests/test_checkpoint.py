@@ -115,3 +115,43 @@ def test_semantics_digest_covers_module_source():
     d2 = semantics_digest(scrub, {"extra": 1})
     assert d1 != d2
     assert d1 == semantics_digest(scrub)  # deterministic
+
+
+def test_snapshot_catalog_time_travel_and_rollback(spark, tmp_path):
+    """Append reuses parent files by reference; time travel reads older
+    snapshots; rollback is metadata-only (later snapshot stays readable)."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "warehouse"))
+    s1 = cat.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        "docs", mode="overwrite",
+    )
+    s2 = cat.write(
+        spark.createDataFrame([(3, "c")], "id int, v string"), "docs"
+    )
+    assert cat.current_snapshot("docs") == s2
+    assert sorted(r["id"] for r in cat.read(spark, "docs").collect()) == [1, 2, 3]
+    # time travel to s1
+    assert sorted(r["id"] for r in cat.read(spark, "docs", s1).collect()) == [1, 2]
+    # append reused parent files by reference (no rewrite)
+    m2 = cat.manifest("docs", s2)
+    m1 = cat.manifest("docs", s1)
+    assert set(m1["files"]) < set(m2["files"])
+    assert m2["parent"] == s1 and m2["operation"] == "append"
+    # overwrite starts a fresh file list but keeps history readable
+    s3 = cat.write(
+        spark.createDataFrame([(9, "z")], "id int, v string"),
+        "docs", mode="overwrite",
+    )
+    assert [r["id"] for r in cat.read(spark, "docs").collect()] == [9]
+    assert sorted(r["id"] for r in cat.read(spark, "docs", s2).collect()) == [1, 2, 3]
+    assert [m["snapshot_id"] for m in cat.history("docs")] == [s3, s2, s1]
+    # rollback repoints current; s3 remains time-travelable
+    cat.rollback("docs", s2)
+    assert sorted(r["id"] for r in cat.read(spark, "docs").collect()) == [1, 2, 3]
+    assert [r["id"] for r in cat.read(spark, "docs", s3).collect()] == [9]
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown snapshot"):
+        cat.rollback("docs", "nope")
