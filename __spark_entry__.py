@@ -2332,7 +2332,8 @@ def q_classifier_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     model = train_text_classifier(docs, "text", "lang", dim=2**12)
     return classifier_filter(
-        spark, docs, model, "text", "en", filter_threshold=0.5
+        spark, docs, model, "text", "en", filter_threshold=0.5,
+        min_parallelism=32,
     ).select("doc_id", "lang")
 
 

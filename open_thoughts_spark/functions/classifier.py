@@ -50,11 +50,28 @@ class NBModel:
         }
 
 
+_BUCKET_CACHE: dict[tuple[str, int], int] = {}
+
+
 def _token_ids(text: str, dim: int) -> np.ndarray:
+    """Token -> md5 bucket ids, memoized per executor: corpus tokens are
+    Zipf-distributed, so the hot tokens' md5s compute once instead of per
+    occurrence (bounded cache, cleared when it outgrows 2^17 entries)."""
     toks = ascii_tokens(text)
     if not toks:
         return np.empty(0, dtype=np.int64)
-    return np.array([md5_bucket(t, dim) for t in toks], dtype=np.int64)
+    cache = _BUCKET_CACHE
+    ids = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        k = (t, dim)
+        v = cache.get(k)
+        if v is None:
+            if len(cache) > (1 << 17):
+                cache.clear()
+            v = md5_bucket(t, dim)
+            cache[k] = v
+        ids[i] = v
+    return ids
 
 
 def train_text_classifier(
@@ -146,6 +163,7 @@ def classifier_filter(
     filter_threshold: float | None = 0.5,
     top_percentage: float | None = None,
     just_add_scores: bool = False,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """The fasttext operator's three modes (fasttext_operator.py:143-158):
 
@@ -155,6 +173,10 @@ def classifier_filter(
       no driver collect);
     - else: ``score > filter_threshold``.
     """
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        # single-file inputs scan as ONE task; spread the Python-side
+        # scoring UDF across executors first
+        df = df.repartition(min_parallelism)
     scored = df.withColumn(
         score_col, classifier_score_udf(spark, model, target_label)(F.col(text_col))
     )
