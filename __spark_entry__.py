@@ -1538,7 +1538,9 @@ SQL_TOPN_LONGEST = """
 def q_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.knn_bruteforce(emb, queries, k=5).select(
+    return similarity.knn_bruteforce(
+        emb, queries, k=5, min_parallelism=32
+    ).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -1569,7 +1571,9 @@ def q_ann_lsh(spark, sf_dir):
     exactly in DuckDB (was rows-only in r1)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_lsh_topk(emb, queries, k=5).select(
+    return similarity.ann_lsh_topk(
+        emb, queries, k=5, min_parallelism=32
+    ).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -1628,7 +1632,7 @@ def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_ivf_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=4
+        emb, queries, k=5, n_centroids=16, n_probe=4, min_parallelism=32
     ).select("query_id", "neighbor_id", "rank")
 
 

@@ -81,12 +81,16 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     query_id_col: str | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × one corpus pass.
 
     Returns (query_id, neighbor_id, rank, cosine_r4). Self-matches excluded.
-    """
+    ``min_parallelism`` spreads the corpus pass when the input is one file
+    (the interpreted cosine fold otherwise runs in a single task)."""
     qid = query_id_col or id_col
+    if min_parallelism and corpus.rdd.getNumPartitions() < min_parallelism:
+        corpus = corpus.repartition(min_parallelism, F.col(id_col))
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -413,6 +417,7 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their single best cell,
     queries probe their ``n_probe`` best cells, exact cosine inside probed
@@ -420,6 +425,8 @@ def ann_ivf_topk(
     to direction (argmax over K centroids) where LSH cuts with fixed
     hyperplanes — at 10^9 vectors the cell join cost is corpus/K × probes
     per query."""
+    if min_parallelism and corpus.rdd.getNumPartitions() < min_parallelism:
+        corpus = corpus.repartition(min_parallelism, F.col(id_col))
     cb = with_ivf_cells(corpus, vec_col, n_centroids, n_probe=1)
     qb = with_ivf_cells(queries, vec_col, n_centroids, n_probe=n_probe)
     q = qb.select(
@@ -451,6 +458,7 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     multiprobe: int = 1,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides, exact cosine within bucket.
 
@@ -459,6 +467,8 @@ def ann_lsh_topk(
     LSH recall/cost dial). Recall < 1.0 by construction; the bucket join
     replaces the cross join so cost scales with bucket occupancy, not corpus
     size."""
+    if min_parallelism and corpus.rdd.getNumPartitions() < min_parallelism:
+        corpus = corpus.repartition(min_parallelism, F.col(id_col))
     cb = with_lsh_bucket(corpus, vec_col, n_planes)
     qb = with_lsh_bucket(queries, vec_col, n_planes)
     if multiprobe > 0:
