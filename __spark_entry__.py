@@ -1478,6 +1478,52 @@ SQL_DECONTAMINATE_BENCHMARKS = f"""
 
 # --- sampling / top-k ---
 
+def q_puzzle_format_sample(spark, sf_dir):
+    """The puzzle-chain head (puzzle.py:10-33): riddle_sense choices fold
+    into the question body + seeded shuffle-take — the two stages of
+    curate_puzzle not already gate-covered by the dedup/decontaminate/
+    completions oracles. Choices derive deterministically from doc_id so
+    the fold itself is value-checked."""
+    from open_thoughts_spark.pipeline.curation import riddle_sense_format
+
+    docs = _t(spark, sf_dir, "documents")
+    riddles = docs.select(
+        F.col("doc_id").alias("rid"),
+        F.concat(F.lit("riddle number "), F.col("doc_id").cast("string")).alias(
+            "question"
+        ),
+        F.struct(
+            F.array(F.lit("A"), F.lit("B")).alias("label"),
+            F.array(
+                F.concat(F.lit("choice-a-"), F.col("lang")),
+                F.concat(F.lit("choice-b-"), (F.col("doc_id") % 7).cast("string")),
+            ).alias("text"),
+        ).alias("choices"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "answerKey"
+        ),
+    )
+    out = relational.uniform_sample_fixed(
+        riddle_sense_format(riddles), 50, ["rid"], salt="riddle42"
+    )
+    return out.select("rid", "question", "answer")
+
+
+SQL_PUZZLE_FORMAT_SAMPLE = """
+    with r as (
+      select doc_id as rid,
+        'riddle number ' || doc_id::varchar
+          || chr(10) || 'A: choice-a-' || lang
+          || chr(10) || 'B: choice-b-' || (doc_id % 7)::varchar as question,
+        case when doc_id % 2 = 0 then 'A' else 'B' end as answer
+      from documents
+    )
+    select rid, question, answer from r
+    order by md5('riddle42' || '|' || rid::varchar), rid
+    limit 50
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = relational.stratified_sample(docs, "lang", 20, ["doc_id"], salt="strat")
@@ -2861,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_url_classify": q_map_url_classify,
         "map_extract_qa": q_map_extract_qa,
         "sample_stratified_by_lang": q_stratified_sample,
+        "puzzle_format_sample": q_puzzle_format_sample,
         "topn_longest_docs": q_topn_longest,
         "weighted_mix_sources": q_weighted_mix,
         "knn_bruteforce_top5": q_knn,
@@ -2944,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "map_extract_qa": SQL_MAP_EXTRACT_QA,
         "rouge_seed_filter": SQL_ROUGE_SEED_FILTER,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
+        "puzzle_format_sample": SQL_PUZZLE_FORMAT_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,
         "knn_bruteforce_top5": SQL_KNN,
