@@ -17,8 +17,9 @@ metadata contract over plain parquet + JSON manifests:
   deleted — the same O(1) metadata operation as ``ALTER TABLE ... ROLLBACK``).
 
 At 100 TB the mechanism is unchanged: manifests stay tiny (file paths +
-stats), appends never rewrite data, and old snapshots age out via a
-retention sweep (not implemented — deletion policy is deployment-specific).
+stats), appends never rewrite data, and old snapshots age out via
+``expire_snapshots`` (keep-last-N retention that never deletes a data
+directory a surviving snapshot still references).
 """
 
 from __future__ import annotations
@@ -132,3 +133,47 @@ class SnapshotCatalog:
             raise ValueError(f"unknown snapshot: {snapshot_id}")
         with open(self._current_path(table), "w") as f:
             f.write(snapshot_id)
+
+    def expire_snapshots(self, table: str, keep_last: int = 3) -> list[str]:
+        """Retention sweep: keep the newest ``keep_last`` snapshots of the
+        current history chain, delete older manifests plus any data
+        directory no surviving snapshot references. Returns the expired
+        snapshot ids. Metadata-only removal of history — files referenced
+        by a surviving snapshot (appends share parents' files) are kept."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        chain = self.history(table)
+        keep, expire = chain[:keep_last], chain[keep_last:]
+        keep_files = {f for m in keep for f in m["files"]}
+        # also keep anything referenced by snapshots OFF the current chain
+        # (e.g. a rolled-back-past branch) — walk every manifest on disk
+        mdir = os.path.join(self._tdir(table), "manifests")
+        expired_ids = {m["snapshot_id"] for m in expire}
+        for fn in os.listdir(mdir):
+            if not fn.endswith(".json"):
+                continue
+            sid = fn[:-5]
+            if sid in expired_ids:
+                continue
+            m = self.manifest(table, sid)
+            if m["snapshot_id"] not in expired_ids:
+                keep_files.update(m["files"])
+        removed = []
+        for m in expire:
+            for d in {os.path.dirname(f) for f in m["new_files"]}:
+                if not any(f.startswith(d + os.sep) for f in keep_files):
+                    shutil.rmtree(d, ignore_errors=True)
+            os.remove(self._manifest_path(table, m["snapshot_id"]))
+            removed.append(m["snapshot_id"])
+        # surviving oldest manifest may point at an expired parent
+        if expire and keep:
+            oldest = keep[-1]
+            if oldest.get("parent") in expired_ids:
+                oldest = dict(oldest, parent=None)
+                with open(
+                    self._manifest_path(table, oldest["snapshot_id"]), "w"
+                ) as f:
+                    json.dump(oldest, f, indent=1)
+        return removed

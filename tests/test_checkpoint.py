@@ -155,3 +155,25 @@ def test_snapshot_catalog_time_travel_and_rollback(spark, tmp_path):
 
     with _p.raises(ValueError, match="unknown snapshot"):
         cat.rollback("docs", "nope")
+
+
+def test_snapshot_expiry_keeps_referenced_files(spark, tmp_path):
+    """Expiring old snapshots removes their manifests and unreferenced
+    data dirs, but files shared forward by appends survive."""
+    import os
+
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    s1 = cat.write(spark.createDataFrame([(1,)], "id int"), "t", mode="overwrite")
+    s2 = cat.write(spark.createDataFrame([(2,)], "id int"), "t")
+    s3 = cat.write(spark.createDataFrame([(3,)], "id int"), "t")
+    s4 = cat.write(spark.createDataFrame([(4,)], "id int"), "t")
+    removed = cat.expire_snapshots("t", keep_last=2)
+    assert removed == [s2, s1]
+    # current chain still fully readable: s1/s2's data files are shared
+    # forward into s3/s4 by reference, so they must survive expiry
+    assert sorted(r["id"] for r in cat.read(spark, "t").collect()) == [1, 2, 3, 4]
+    assert sorted(r["id"] for r in cat.read(spark, "t", s3).collect()) == [1, 2, 3]
+    assert [m["snapshot_id"] for m in cat.history("t")] == [s4, s3]
+    assert not os.path.exists(cat._manifest_path("t", s1))
