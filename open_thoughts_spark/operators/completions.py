@@ -80,3 +80,53 @@ IDENTITY_MAP = CompletionMap(
     build_prompt=lambda s: s,
     parse_response=lambda s: s,
 )
+
+
+class RateLimitedBackend:
+    """Per-executor token-bucket pacing around any batch backend — the
+    Spark analog of the reference's singleton rate-limit actor
+    (completions_operator.py: curator shares one limiter across shards).
+
+    Spark has no cluster-wide singleton, so the budget is divided: give
+    each executor ``total_qps / num_executors``. The bucket refills at
+    ``qps`` prompts/sec up to ``burst``; a batch larger than the available
+    tokens sleeps for exactly the deficit before calling through. The
+    clock/sleep hooks are injectable so tests run instantly and
+    deterministically.
+    """
+
+    def __init__(
+        self,
+        backend: Callable[[pd.Series], pd.Series],
+        qps: float,
+        burst: float | None = None,
+        clock: Callable[[], float] | None = None,
+        sleep: Callable[[float], None] | None = None,
+    ):
+        import time as _time
+
+        if qps <= 0:
+            raise ValueError("qps must be positive")
+        self.backend = backend
+        self.qps = float(qps)
+        self.burst = float(burst if burst is not None else qps)
+        self._clock = clock or _time.monotonic
+        self._sleep = sleep or _time.sleep
+        self._tokens = self.burst
+        self._last = self._clock()
+
+    def __call__(self, prompts: pd.Series) -> pd.Series:
+        now = self._clock()
+        self._tokens = min(
+            self.burst, self._tokens + (now - self._last) * self.qps
+        )
+        self._last = now
+        need = float(len(prompts))
+        if need > self._tokens:
+            wait = (need - self._tokens) / self.qps
+            self._sleep(wait)
+            self._last = self._clock()
+            self._tokens = 0.0
+        else:
+            self._tokens -= need
+        return self.backend(prompts)

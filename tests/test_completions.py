@@ -351,3 +351,40 @@ def test_airoboros_and_webinstruct_family(spark):
             MAPS[name],
         ).collect()[0]
         assert 1 <= d["difficulty"] <= 10
+
+
+def test_rate_limited_backend_paces_batches():
+    """Token bucket: a burst passes untouched; past the burst each prompt
+    costs 1/qps seconds of sleep, computed against the injected clock."""
+    import pandas as pd
+
+    from open_thoughts_spark.operators.completions import (
+        RateLimitedBackend,
+        mock_backend,
+    )
+
+    t = [0.0]
+    sleeps = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        t[0] += s
+
+    rb = RateLimitedBackend(mock_backend, qps=10, burst=10, clock=clock, sleep=sleep)
+    out = rb(pd.Series(["a"] * 10))  # exactly the burst: no sleep
+    assert len(out) == 10 and sleeps == []
+    rb(pd.Series(["b"] * 5))  # bucket empty: 5 tokens needed -> 0.5s
+    assert sleeps == [0.5]
+    t[0] += 1.0  # 1s passes -> 10 tokens refill (capped at burst)
+    rb(pd.Series(["c"] * 8))  # 8 <= 10 available: no sleep
+    assert sleeps == [0.5]
+    # outputs still the deterministic mock
+    assert out.map(lambda s: s.startswith("[mock:")).all()
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="qps"):
+        RateLimitedBackend(mock_backend, qps=0)
