@@ -362,3 +362,56 @@ def test_benchmark_registry_contamination(spark):
             EVAL_BENCHMARKS["Idavidrein/gpqa"],
             spark.createDataFrame([("x",)], "wrong string"),
         )
+
+
+def test_lcs_duckdb_recursion_parity_fuzz():
+    """The anti-diagonal recursive-CTE LCS (the rouge_seed_filter oracle)
+    must agree with the vectorized row-DP on random token sequences —
+    including empty sequences, full duplicates and heavy repetition."""
+    import random
+
+    import duckdb
+
+    from open_thoughts_spark.operators.rouge import lcs_length
+    import numpy as np
+
+    rng = random.Random(7)
+    vocab = list("abcde")
+    cases = [([], ["a"]), (["a"], []), (["a", "b"], ["a", "b"])]
+    for _ in range(25):
+        n, m = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            ([rng.choice(vocab) for _ in range(n)],
+             [rng.choice(vocab) for _ in range(m)])
+        )
+    con = duckdb.connect()
+    sql = """
+        with recursive dp as (
+          select 1 as k,
+            list_transform(range(0, len($a::varchar[]) + 1), i -> 0) as prev,
+            list_transform(range(0, len($a::varchar[]) + 1), i -> 0) as cur
+          union all
+          select k + 1, cur,
+            list_transform(range(0, len($a::varchar[]) + 1), i ->
+              case when i = 0 or (k + 1 - i) < 1
+                   or (k + 1 - i) > len($b::varchar[])
+                   or i > len($a::varchar[]) then 0
+              else greatest(cur[i], cur[i + 1],
+                prev[i] + (case when ($a::varchar[])[i] = ($b::varchar[])[k + 1 - i]
+                           then 1 else 0 end))
+              end)
+          from dp where k < len($a::varchar[]) + len($b::varchar[])
+        )
+        select cur[len($a::varchar[]) + 1] from dp
+        where k = len($a::varchar[]) + len($b::varchar[])
+    """
+    for a, b in cases:
+        # interned ids like rouge_l_f1 does
+        vocab_map = {}
+        aid = np.array([vocab_map.setdefault(t, len(vocab_map)) for t in a])
+        bid = np.array([vocab_map.setdefault(t, len(vocab_map)) for t in b])
+        want = lcs_length(aid, bid) if len(a) and len(b) else 0
+        if not a or not b:
+            continue  # oracle query filters n>0 and m>0; python gives 0
+        got = con.execute(sql, {"a": a, "b": b}).fetchone()[0]
+        assert got == want, (a, b, got, want)
