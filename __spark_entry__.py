@@ -2433,6 +2433,47 @@ SQL_CLASSIFIER_FILTER = f"""
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Distributed image-resize plumbing, value-checked: image payloads
+    re-encode at 8x6 through the Arrow-batched kernel (deterministic fake:
+    repeated md5(payload|dims) truncated to w*h*3 bytes); the oracle
+    replays the byte construction in HEX space (DuckDB md5 is
+    VARCHAR-only, so the comparison column is the payload's hex)."""
+    from open_thoughts_spark.multimodal.media import resize_images
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    out = resize_images(media, width=8, height=6)
+    return out.select(
+        "media_id",
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+    select doc_id as media_id,
+      substring(repeat(md5(text || '|8x6'), 10), 1, 288) as payload_hex,
+      8 as width, 6 as height
+    from documents
+    where doc_id < 200 and doc_id % 3 = 0
+"""
+
+
 def q_multimodal_featurize(spark, sf_dir):
     """Multimodal plumbing end to end, value-checked: documents become
     typed media rows (opaque binary payload + metadata struct), native
@@ -2935,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_seed_filter": q_rouge_seed_filter,
         "tree_search_beam": q_tree_search_beam,
         "multimodal_featurize": q_multimodal_featurize,
+        "multimodal_resize": q_multimodal_resize,
         "part_supplier_revenue": q_part_supplier_revenue,
         "events_json_extract": q_events_json_extract,
         "customers_intersect_years": q_customers_intersect_years,
@@ -3026,6 +3068,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "tree_search_beam": sql_tree_search_beam(),
         "embed_docs_knn": SQL_EMBED_KNN,
         "classifier_lang_filter": SQL_CLASSIFIER_FILTER,
