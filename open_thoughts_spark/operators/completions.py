@@ -83,16 +83,24 @@ IDENTITY_MAP = CompletionMap(
 
 
 class RateLimitedBackend:
-    """Per-executor token-bucket pacing around any batch backend — the
-    Spark analog of the reference's singleton rate-limit actor
-    (completions_operator.py: curator shares one limiter across shards).
+    """Token-bucket pacing around any batch backend — the Spark analog of
+    the reference's shared curator rate-limit actor
+    (completions_operator.py).
 
-    Spark has no cluster-wide singleton, so the budget is divided: give
-    each executor ``total_qps / num_executors``. The bucket refills at
-    ``qps`` prompts/sec up to ``burst``; a batch larger than the available
-    tokens sleeps for exactly the deficit before calling through. The
-    clock/sleep hooks are injectable so tests run instantly and
-    deterministically.
+    Scope honesty: Spark has no cluster-wide singleton, so the bucket is
+    PER PYTHON WORKER PROCESS — state lives in a module-global keyed by
+    this limiter's identity, so every task deserialized into the same
+    worker shares one bucket (a fresh per-task copy would grant a free
+    burst per task). Cluster-wide QPS ≈ concurrent workers × ``qps``;
+    size ``qps = total_qps / (executors × cores_per_executor)``.
+    True cross-process coordination needs an external limiter service,
+    which is exactly what the reference's Ray actor is.
+
+    The clock is read lazily ON the worker (never pickled from the
+    driver — monotonic clocks are not comparable across hosts). The
+    bucket refills at ``qps`` prompts/sec up to ``burst``; a batch larger
+    than the available tokens sleeps for exactly the deficit. Clock/sleep
+    hooks are injectable so tests run instantly and deterministically.
     """
 
     def __init__(
@@ -102,31 +110,40 @@ class RateLimitedBackend:
         burst: float | None = None,
         clock: Callable[[], float] | None = None,
         sleep: Callable[[float], None] | None = None,
+        key: str | None = None,
     ):
-        import time as _time
+        import uuid
 
         if qps <= 0:
             raise ValueError("qps must be positive")
         self.backend = backend
         self.qps = float(qps)
         self.burst = float(burst if burst is not None else qps)
-        self._clock = clock or _time.monotonic
-        self._sleep = sleep or _time.sleep
-        self._tokens = self.burst
-        self._last = self._clock()
+        self._clock = clock
+        self._sleep = sleep
+        self.key = key or uuid.uuid4().hex
 
     def __call__(self, prompts: pd.Series) -> pd.Series:
-        now = self._clock()
-        self._tokens = min(
-            self.burst, self._tokens + (now - self._last) * self.qps
-        )
-        self._last = now
+        import time as _time
+
+        clock = self._clock or _time.monotonic
+        sleep = self._sleep or _time.sleep
+        state = _WORKER_BUCKETS.get(self.key)
+        if state is None:
+            # first touch in THIS worker process: full burst, local clock
+            state = _WORKER_BUCKETS[self.key] = [self.burst, clock()]
+        now = clock()
+        tokens = min(self.burst, state[0] + (now - state[1]) * self.qps)
         need = float(len(prompts))
-        if need > self._tokens:
-            wait = (need - self._tokens) / self.qps
-            self._sleep(wait)
-            self._last = self._clock()
-            self._tokens = 0.0
+        if need > tokens:
+            sleep((need - tokens) / self.qps)
+            state[0] = 0.0
+            state[1] = clock()
         else:
-            self._tokens -= need
+            state[0] = tokens - need
+            state[1] = now
         return self.backend(prompts)
+
+
+# per-worker-process bucket state: {limiter key: [tokens, last_clock]}
+_WORKER_BUCKETS: dict[str, list] = {}

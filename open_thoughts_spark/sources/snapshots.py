@@ -83,6 +83,38 @@ class SnapshotCatalog:
         fresh file list (old files stay on disk for time travel)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown snapshot mode: {mode}")
+        lock = self._acquire_commit_lock(table)
+        try:
+            return self._write_locked(df, table, mode)
+        finally:
+            self._release_commit_lock(lock)
+
+    def _acquire_commit_lock(self, table: str, timeout_s: float = 60.0) -> str:
+        """Single-writer commit section (a real catalog does an atomic
+        swap with conflict retry; on a plain filesystem an O_EXCL lock
+        file is the portable equivalent). Without it two concurrent
+        appends both read the same parent and the later current-pointer
+        write silently drops the other's files."""
+        path = os.path.join(self._tdir(table), "manifests", ".commit.lock")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return path
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock busy: {path}")
+                time.sleep(0.05)
+
+    def _release_commit_lock(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def _write_locked(self, df: DataFrame, table: str, mode: str) -> str:
         parent = self.current_snapshot(table)
         ts = int(time.time() * 1000)
         snap_id = hashlib.md5(
@@ -110,8 +142,10 @@ class SnapshotCatalog:
         os.makedirs(os.path.dirname(self._manifest_path(table, snap_id)), exist_ok=True)
         with open(self._manifest_path(table, snap_id), "w") as f:
             json.dump(manifest, f, indent=1)
-        with open(self._current_path(table), "w") as f:
+        tmp = self._current_path(table) + ".tmp"
+        with open(tmp, "w") as f:
             f.write(snap_id)
+        os.replace(tmp, self._current_path(table))
         return snap_id
 
     def read(
@@ -151,6 +185,7 @@ class SnapshotCatalog:
         # (e.g. a rolled-back-past branch) — walk every manifest on disk
         mdir = os.path.join(self._tdir(table), "manifests")
         expired_ids = {m["snapshot_id"] for m in expire}
+        survivors = []
         for fn in os.listdir(mdir):
             if not fn.endswith(".json"):
                 continue
@@ -158,8 +193,8 @@ class SnapshotCatalog:
             if sid in expired_ids:
                 continue
             m = self.manifest(table, sid)
-            if m["snapshot_id"] not in expired_ids:
-                keep_files.update(m["files"])
+            survivors.append(m)
+            keep_files.update(m["files"])
         removed = []
         for m in expire:
             for d in {os.path.dirname(f) for f in m["new_files"]}:
@@ -167,13 +202,13 @@ class SnapshotCatalog:
                     shutil.rmtree(d, ignore_errors=True)
             os.remove(self._manifest_path(table, m["snapshot_id"]))
             removed.append(m["snapshot_id"])
-        # surviving oldest manifest may point at an expired parent
-        if expire and keep:
-            oldest = keep[-1]
-            if oldest.get("parent") in expired_ids:
-                oldest = dict(oldest, parent=None)
+        # EVERY surviving manifest whose parent was expired gets its
+        # pointer cleared — including off-chain branches left by rollback
+        # (a dangling parent would poison history() with FileNotFoundError)
+        for m in survivors:
+            if m.get("parent") in expired_ids:
                 with open(
-                    self._manifest_path(table, oldest["snapshot_id"]), "w"
+                    self._manifest_path(table, m["snapshot_id"]), "w"
                 ) as f:
-                    json.dump(oldest, f, indent=1)
+                    json.dump(dict(m, parent=None), f, indent=1)
         return removed

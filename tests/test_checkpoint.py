@@ -177,3 +177,27 @@ def test_snapshot_expiry_keeps_referenced_files(spark, tmp_path):
     assert sorted(r["id"] for r in cat.read(spark, "t", s3).collect()) == [1, 2, 3]
     assert [m["snapshot_id"] for m in cat.history("t")] == [s4, s3]
     assert not os.path.exists(cat._manifest_path("t", s1))
+
+
+def test_snapshot_expiry_repairs_offchain_parents(spark, tmp_path):
+    """The reviewer's repro: rollback leaves an off-chain snapshot whose
+    parent then expires — its manifest must be repaired, not poisoned."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w2"))
+    s1 = cat.write(spark.createDataFrame([(1,)], "id int"), "t", mode="overwrite")
+    s2 = cat.write(spark.createDataFrame([(2,)], "id int"), "t")
+    cat.rollback("t", s1)
+    s3 = cat.write(spark.createDataFrame([(3,)], "id int"), "t")
+    s4 = cat.write(spark.createDataFrame([(4,)], "id int"), "t")
+    s5 = cat.write(spark.createDataFrame([(5,)], "id int"), "t")
+    removed = cat.expire_snapshots("t", keep_last=2)
+    assert s1 in removed and s3 in removed
+    # s2 is off-chain (branch from the rollback); its parent s1 expired —
+    # history from s2 must not crash on a dangling pointer
+    cat.rollback("t", s2)
+    hist = cat.history("t")
+    assert [m["snapshot_id"] for m in hist] == [s2]
+    assert hist[0]["parent"] is None
+    # s2's shared file (from s1, referenced forward) must still be readable
+    assert sorted(r["id"] for r in cat.read(spark, "t", s2).collect()) == [1, 2]

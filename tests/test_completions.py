@@ -355,7 +355,10 @@ def test_airoboros_and_webinstruct_family(spark):
 
 def test_rate_limited_backend_paces_batches():
     """Token bucket: a burst passes untouched; past the burst each prompt
-    costs 1/qps seconds of sleep, computed against the injected clock."""
+    costs 1/qps seconds of sleep; pickled task copies landing in the same
+    worker process SHARE one bucket (no free burst per task)."""
+    import pickle
+
     import pandas as pd
 
     from open_thoughts_spark.operators.completions import (
@@ -381,6 +384,18 @@ def test_rate_limited_backend_paces_batches():
     t[0] += 1.0  # 1s passes -> 10 tokens refill (capped at burst)
     rb(pd.Series(["c"] * 8))  # 8 <= 10 available: no sleep
     assert sleeps == [0.5]
+    # a second instance sharing the same key (what a pickled task copy in
+    # one worker becomes) draws from the SAME bucket: only 2 tokens left
+    rb2 = RateLimitedBackend(
+        mock_backend, qps=10, burst=10, clock=clock, sleep=sleep, key=rb.key
+    )
+    rb2(pd.Series(["d"] * 5))
+    assert sleeps == [0.5, 0.3]  # needed 5, had 2 -> 0.3s
+    # pickling drops no configuration and keeps the shared key
+    rb3 = pickle.loads(pickle.dumps(
+        RateLimitedBackend(mock_backend, qps=10, key="fixed")
+    ))
+    assert rb3.key == "fixed" and rb3.qps == 10
     # outputs still the deterministic mock
     assert out.map(lambda s: s.startswith("[mock:")).all()
 

@@ -365,53 +365,40 @@ def test_benchmark_registry_contamination(spark):
 
 
 def test_lcs_duckdb_recursion_parity_fuzz():
-    """The anti-diagonal recursive-CTE LCS (the rouge_seed_filter oracle)
-    must agree with the vectorized row-DP on random token sequences —
-    including empty sequences, full duplicates and heavy repetition."""
+    """The REAL rouge_seed_filter oracle (SQL_ROUGE_SEED_FILTER, not a
+    copy) must agree with the Python ROUGE-L path on crafted documents —
+    including empty/whitespace texts (n=0 or m=0 pairs skip the recursion
+    and take the coalesce(max,0) branch) and heavy repetition."""
     import random
 
     import duckdb
-
-    from open_thoughts_spark.operators.rouge import lcs_length
     import numpy as np
 
-    rng = random.Random(7)
-    vocab = list("abcde")
-    cases = [([], ["a"]), (["a"], []), (["a", "b"], ["a", "b"])]
-    for _ in range(25):
-        n, m = rng.randint(0, 12), rng.randint(0, 12)
-        cases.append(
-            ([rng.choice(vocab) for _ in range(n)],
-             [rng.choice(vocab) for _ in range(m)])
-        )
+    import __spark_entry__ as entrymod
+    from open_thoughts_spark.operators.rouge import rouge_l_f1, rouge_tokens
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "xx22"]
+    texts = []
+    for i in range(40):
+        n = rng.randint(0, 15)
+        texts.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    texts[2] = (2, "")          # empty seed
+    texts[7] = (7, "   ")       # whitespace-only pool doc (tokenless)
+    texts[9] = (9, texts[0][1])  # exact dup of seed 0
     con = duckdb.connect()
-    sql = """
-        with recursive dp as (
-          select 1 as k,
-            list_transform(range(0, len($a::varchar[]) + 1), i -> 0) as prev,
-            list_transform(range(0, len($a::varchar[]) + 1), i -> 0) as cur
-          union all
-          select k + 1, cur,
-            list_transform(range(0, len($a::varchar[]) + 1), i ->
-              case when i = 0 or (k + 1 - i) < 1
-                   or (k + 1 - i) > len($b::varchar[])
-                   or i > len($a::varchar[]) then 0
-              else greatest(cur[i], cur[i + 1],
-                prev[i] + (case when ($a::varchar[])[i] = ($b::varchar[])[k + 1 - i]
-                           then 1 else 0 end))
-              end)
-          from dp where k < len($a::varchar[]) + len($b::varchar[])
-        )
-        select cur[len($a::varchar[]) + 1] from dp
-        where k = len($a::varchar[]) + len($b::varchar[])
-    """
-    for a, b in cases:
-        # interned ids like rouge_l_f1 does
-        vocab_map = {}
-        aid = np.array([vocab_map.setdefault(t, len(vocab_map)) for t in a])
-        bid = np.array([vocab_map.setdefault(t, len(vocab_map)) for t in b])
-        want = lcs_length(aid, bid) if len(a) and len(b) else 0
-        if not a or not b:
-            continue  # oracle query filters n>0 and m>0; python gives 0
-        got = con.execute(sql, {"a": a, "b": b}).fetchone()[0]
-        assert got == want, (a, b, got, want)
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany("insert into documents values (?, ?)", texts)
+    got = dict(
+        con.execute(entrymod.oracle_sql()["rouge_seed_filter"]).fetchall()
+    )
+    seeds = [rouge_tokens(t) for d, t in texts if d < 5]
+    for d, t in texts:
+        if d < 5:
+            continue
+        toks = rouge_tokens(t)
+        f1 = max((rouge_l_f1(toks, s) for s in seeds), default=0.0)
+        want = int(np.floor(1_000_000 * f1))
+        assert got[d] == want, (d, t, got[d], want)
+    assert got[9] == 1_000_000  # exact dup of a seed
+    assert got[7] == 0          # tokenless doc scores zero
