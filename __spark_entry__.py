@@ -31,6 +31,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str, n: int = 32) -> DataFrame:
+    """documents scan spread to >= n partitions before an expensive map.
+
+    A single-file parquet scan is 1-2 tasks (CLAUDE.md perf lore), so the
+    heavy native-regex projections (text stats, langid cascade, scrub,
+    BPE count, gopher rules) otherwise run on 2 of 32 cores — VERDICT r3
+    measured text_stats at 2.08 s warm that way. On a real multi-file
+    table the conditional is a no-op; the 0.6 MB shuffle here is noise
+    next to the map it parallelizes."""
+    df = _t(spark, sf_dir, "documents")
+    # inputFiles() is a driver-side metadata call; the .rdd probe the dedup
+    # ops use costs ~0.18 s of plan conversion per query (measured)
+    if len(df.inputFiles()) < n // 2:
+        df = df.repartition(n)
+    return df
+
+
 def _cents(col):
     """Exact integer cents from a 2-dp double (portable across engines)."""
     return F.round(col * 100).cast("long")
@@ -520,7 +537,7 @@ SQL_MERGE_ENRICH = """
 
 def q_qf_docs_decisions(spark, sf_dir):
     """Full heuristic cascade + langid on documents (no roles, no ppl)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = quality_filter(
         docs.withColumnRenamed("doc_id", "doc_id"),
         with_turn_order=False,
@@ -548,7 +565,7 @@ def sql_qf_docs_decisions():
 
 def q_qf_docs_scrub(spark, sf_dir):
     """PII scrub parity: inject deterministic PII, scrub, exact text out."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     pii = F.concat(
         F.substring(F.col("text"), 1, 40),
         F.lit(" contact user"),
@@ -701,7 +718,7 @@ def q_gopher_quality_filter(spark, sf_dir):
     documents; the untouched rows exercise the pass path."""
     from open_thoughts_spark.rules.gopher import with_gopher_decision
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     m8 = F.col("doc_id") % 8
     bullets = F.repeat(F.lit("- item alpha beta\n"), 20)      # 80 words, 95% bullets
     nonalpha = F.concat(
@@ -760,7 +777,7 @@ def q_gopher_repetition_filter(spark, sf_dir):
     plant duplicate lines / looped bigrams so both channels fire."""
     from open_thoughts_spark.rules.gopher import with_repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     m4 = F.col("doc_id") % 4
     line = F.substring(F.col("text"), 1, 40)
     nl = F.lit("\n")
@@ -835,7 +852,7 @@ def sql_gopher_repetition_filter():
 
 
 def q_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = with_text_stats(docs)
     return out.select(
         "doc_id",
@@ -887,7 +904,7 @@ def q_token_length_filter(spark, sf_dir):
     count itself is value-checked — not a regex proxy."""
     from open_thoughts_spark.functions.bpe import with_bpe_token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     counted = with_bpe_token_count(docs)
     return counted.select(
         "doc_id",
@@ -907,7 +924,7 @@ def sql_token_length_filter():
 
 
 def q_fingerprint_summary(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     fp = docs.withColumn("fingerprint", fingerprint_expr(F.col("text")))
     return fp.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -932,7 +949,7 @@ def q_math_domain_filter(spark, sf_dir):
     fixture (same injection pattern as the PII scrub query)."""
     from open_thoughts_spark.rules.math_rules import with_math_decision
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     m5 = F.col("doc_id") % 5
     problem = (
         F.when(m5 == 0, F.concat(F.lit("a) "), F.col("text"), F.lit(" b) part two")))
@@ -987,7 +1004,7 @@ def q_code_domain_filter(spark, sf_dir):
     fires."""
     from open_thoughts_spark.rules.math_rules import with_code_decision
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     m4 = F.col("doc_id") % 4
     long_text = F.concat(F.col("text"), F.lit(" "), F.col("text"), F.lit(" "), F.col("text"))
     description = (
@@ -1617,9 +1634,11 @@ def q_ann_lsh(spark, sf_dir):
     exactly in DuckDB (was rows-only in r1)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_lsh_topk(
-        emb, queries, k=5, min_parallelism=32
-    ).select(
+    # no min_parallelism spread here (VERDICT r3 #7 A/B): the LSH projection
+    # map is integer-light, so at sf0.1 the repartition shuffle costs more
+    # than the parallel map buys (warm 1.43 vs 1.17 s measured). knn keeps
+    # its spread — its brute-force map is heavy enough to win.
+    return similarity.ann_lsh_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -1677,8 +1696,9 @@ def q_ann_ivf(spark, sf_dir):
     DuckDB-oracled via the same exact-integer assignment."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # spread dropped — same A/B result as ann_lsh (warm 1.45 vs 1.24 s)
     return similarity.ann_ivf_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=4, min_parallelism=32
+        emb, queries, k=5, n_centroids=16, n_probe=4
     ).select("query_id", "neighbor_id", "rank")
 
 

@@ -76,7 +76,7 @@ def _force(df) -> int:
     return df.count()
 
 
-def run_headline_queries() -> tuple[dict[str, float], float]:
+def run_headline_queries() -> tuple[dict[str, float], dict[str, float], float]:
     import __spark_entry__ as entrymod
     from open_thoughts_spark.session import get_spark
 
@@ -85,12 +85,21 @@ def run_headline_queries() -> tuple[dict[str, float], float]:
     # warm the JVM/codegen path once with a trivial job
     spark.range(1000).count()
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
+        # cold = first run (plan build + Janino codegen + JIT), warm = second
+        # run of a FRESH plan (shuffle reuse would otherwise skip the work —
+        # CLAUDE.md lore). Warm is the scale-relevant number: a cluster
+        # amortizes codegen over hours; round-over-round comparisons on this
+        # noisy VM kept drowning in cold-path weather (VERDICT r3 #6).
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        warm[name] = round(time.time() - t0, 3)
     spark.stop()
-    return times, round(sum(times.values()), 3)
+    return times, warm, round(sum(times.values()), 3)
 
 
 _SCALE_SNIPPET = """
@@ -248,7 +257,7 @@ def run_scaling(n_convs: int, repeats: int = 2) -> dict:
 
 
 def main() -> int:
-    queries, total = run_headline_queries()
+    queries, queries_warm, total = run_headline_queries()
     # 3 interleaved pairs: the best-window estimator needs one clean weather
     # window; with the observed ±40% host phases, 2 pairs miss it too often
     scaling = run_scaling(BENCH_CONVS, repeats=3)
@@ -257,6 +266,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_warm": queries_warm,
+        "value_warm": round(sum(queries_warm.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "scaling": scaling,
     }

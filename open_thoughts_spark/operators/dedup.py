@@ -645,9 +645,13 @@ def weighted_jaccard_pairs(
     the similarity the ICWS / weighted-minhash family estimates — computed
     here EXACTLY (integer tf sums, no sampling), so the DuckDB oracle can
     replay it bit-for-bit. Candidates come from ``pairs`` (e.g. minhash
-    band collisions — a superset generator: band collision is on the
-    distinct-shingle set, and a high weighted score implies high set
-    overlap); without ``pairs`` all same-shingle pairs are scored.
+    band collisions). Recall caveat (ADVICE r3): minhash candidates are
+    complete only w.r.t. SET similarity — when term mass concentrates in
+    few shingles (tf_a={s:100} vs tf_b={s:100, 9 singletons} gives
+    J_w≈0.92 at set-Jaccard 0.1), a high-weighted pair can sit below the
+    LSH set-similarity threshold and be missed. For lossless weighted
+    recall pass ``pairs=None`` (all same-shingle pairs scored) or generate
+    candidates with a weighted scheme (ICWS-style) upstream.
 
     Identity: sum(max) = |a| + |b| - sum(min) with |x| = total shingle
     count, so one join computing sum-of-mins + per-doc totals suffices.

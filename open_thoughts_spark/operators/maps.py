@@ -578,17 +578,15 @@ def _alpaca_seed_mock(prompts: pd.Series) -> pd.Series:
 
 
 def _alpaca_seed_parse(raw: pd.Series) -> pd.DataFrame:
-    def one(r: str, key: str) -> str:
-        try:
-            return str(json.loads(r).get(key, ""))
-        except (json.JSONDecodeError, ValueError):
-            return ""
-
+    # _load_json_field guards non-dict JSON (a list/scalar from a real
+    # backend must not raise AttributeError inside the pandas UDF)
     return pd.DataFrame(
         {
-            "gen_instruction": raw.fillna("").map(lambda r: one(r, "instruction")),
-            "gen_input": raw.fillna("").map(lambda r: one(r, "input")),
-            "gen_output": raw.fillna("").map(lambda r: one(r, "output")),
+            "gen_instruction": raw.fillna("").map(
+                lambda r: _load_json_field(r, "instruction")
+            ),
+            "gen_input": raw.fillna("").map(lambda r: _load_json_field(r, "input")),
+            "gen_output": raw.fillna("").map(lambda r: _load_json_field(r, "output")),
         }
     )
 
@@ -750,15 +748,9 @@ def _unnatural_mock(prompts: pd.Series) -> pd.Series:
 
 
 def _unnatural_parse(raw: pd.Series) -> pd.DataFrame:
-    def one(r: str, key: str) -> str:
-        try:
-            return str(json.loads(r).get(key, ""))
-        except (json.JSONDecodeError, ValueError):
-            return ""
-
     return pd.DataFrame(
         {
-            k: raw.fillna("").map(lambda r, k=k: one(r, k))
+            k: raw.fillna("").map(lambda r, k=k: _load_json_field(r, k))
             for k in ("instruction", "input", "constraints")
         }
     )
@@ -923,18 +915,14 @@ def _evol_llm_mock(prompts: pd.Series) -> pd.Series:
 
 
 def _evol_llm_parse(raw: pd.Series) -> pd.DataFrame:
-    def load(r: str, key: str) -> str:
-        try:
-            return str(json.loads(r).get(key, ""))
-        except (json.JSONDecodeError, ValueError):
-            return ""
-
     return pd.DataFrame(
         {
-            "methods_list": raw.fillna("").map(lambda r: load(r, "methods_list")),
-            "plan": raw.fillna("").map(lambda r: load(r, "plan")),
+            "methods_list": raw.fillna("").map(
+                lambda r: _load_json_field(r, "methods_list")
+            ),
+            "plan": raw.fillna("").map(lambda r: _load_json_field(r, "plan")),
             "evolved_instruction": raw.fillna("").map(
-                lambda r: load(r, "finally_rewritten_instruction")
+                lambda r: _load_json_field(r, "finally_rewritten_instruction")
             ),
         }
     )
@@ -1145,17 +1133,13 @@ def _solve_answer_mock(prompts: pd.Series) -> pd.Series:
 
 
 def _solve_parse(raw: pd.Series) -> pd.DataFrame:
-    def load(r: str, key: str) -> str:
-        try:
-            return str(json.loads(r).get(key, ""))
-        except (json.JSONDecodeError, ValueError):
-            return ""
-
     return pd.DataFrame(
         {
-            "solution": raw.fillna("").map(lambda r: load(r, "solution")),
+            "solution": raw.fillna("").map(
+                lambda r: _load_json_field(r, "solution")
+            ),
             "predicted_answer": raw.fillna("").map(
-                lambda r: load(r, "final_answer")
+                lambda r: _load_json_field(r, "final_answer")
             ),
         }
     )
@@ -1466,19 +1450,13 @@ def _experience_mock(prompts: pd.Series) -> pd.Series:
 
 
 def _experience_parse(raw: pd.Series) -> pd.DataFrame:
-    def load(r: str, key: str) -> str:
-        try:
-            return str(json.loads(r).get(key, ""))
-        except (json.JSONDecodeError, ValueError):
-            return ""
-
     return pd.DataFrame(
         {
             "experience_instruction": raw.fillna("").map(
-                lambda r: load(r, "instruction")
+                lambda r: _load_json_field(r, "instruction")
             ),
             "experience_response": raw.fillna("").map(
-                lambda r: load(r, "experience")
+                lambda r: _load_json_field(r, "experience")
             ),
         }
     )

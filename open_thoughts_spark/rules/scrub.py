@@ -82,15 +82,21 @@ SCRUB_STEPS: list[tuple[str, str, str]] = [
         "$1<CC>$4",
     ),
     # 4. phone numbers — explicit shapes only (international +CC with 2-4
-    # digit groups, NANP 3-3-4, or bare 3-4) so dates / number lists survive
+    # digit groups, NANP trunk-prefix 1-3-3-4, NANP 3-3-4, or bare 3-4) so
+    # dates / number lists survive.
     # consumed digit boundaries (re-inserted via $1/$3) stop the shapes
     # from matching INSIDE longer digit runs — '1991 1992' is not a bare
     # 3-4 phone (code-review r2); inner groups are non-capturing so the
-    # backref numbering stays fixed
+    # backref numbering stays fixed. The leading class excludes '.'/'-' so
+    # the NANP shape can't anchor mid-way through a longer dashed/dotted
+    # digit run; the explicit 1-XXX-XXX-XXXX alternative recovers the
+    # trunk-prefix form that exclusion would otherwise leave in cleartext
+    # (ADVICE r3: 'call 1-555-123-4567' must mask)
     (
         "phone",
         "(^|[^0-9.\\-])("
         "(?:\\+[0-9]{1,3}(?:[-. ][0-9]{2,4}){2,4})"
+        "|(?:1[-. ](?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
         "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
         "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})"
         ")([^0-9]|$)",
@@ -101,6 +107,7 @@ SCRUB_STEPS: list[tuple[str, str, str]] = [
         "phone2",
         "(^|[^0-9.\\-])("
         "(?:\\+[0-9]{1,3}(?:[-. ][0-9]{2,4}){2,4})"
+        "|(?:1[-. ](?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
         "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4})"
         "|(?:(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{4})"
         ")([^0-9]|$)",

@@ -142,11 +142,17 @@ class SnapshotCatalog:
         os.makedirs(os.path.dirname(self._manifest_path(table, snap_id)), exist_ok=True)
         with open(self._manifest_path(table, snap_id), "w") as f:
             json.dump(manifest, f, indent=1)
+        self._write_current(table, snap_id)
+        return snap_id
+
+    def _write_current(self, table: str, snap_id: str) -> None:
+        """Atomic current-pointer update (tmp + os.replace): a crash
+        mid-write must never leave a truncated pointer a concurrent
+        reader could see."""
         tmp = self._current_path(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(snap_id)
         os.replace(tmp, self._current_path(table))
-        return snap_id
 
     def read(
         self, spark: SparkSession, table: str, snapshot_id: str | None = None
@@ -162,22 +168,41 @@ class SnapshotCatalog:
         return spark.read.parquet(*files)
 
     def rollback(self, table: str, snapshot_id: str) -> None:
-        """Repoint current at an earlier snapshot (metadata-only)."""
+        """Repoint current at an earlier snapshot (metadata-only).
+
+        Runs inside the commit lock with an atomic pointer swap (ADVICE
+        r3): a plain open/write could be interleaved with a concurrent
+        ``write()``'s parent read, or crash mid-write leaving a truncated
+        pointer."""
         if not os.path.exists(self._manifest_path(table, snapshot_id)):
             raise ValueError(f"unknown snapshot: {snapshot_id}")
-        with open(self._current_path(table), "w") as f:
-            f.write(snapshot_id)
+        lock = self._acquire_commit_lock(table)
+        try:
+            self._write_current(table, snapshot_id)
+        finally:
+            self._release_commit_lock(lock)
 
     def expire_snapshots(self, table: str, keep_last: int = 3) -> list[str]:
         """Retention sweep: keep the newest ``keep_last`` snapshots of the
         current history chain, delete older manifests plus any data
         directory no surviving snapshot references. Returns the expired
         snapshot ids. Metadata-only removal of history — files referenced
-        by a surviving snapshot (appends share parents' files) are kept."""
-        import shutil
+        by a surviving snapshot (appends share parents' files) are kept.
 
+        Takes the commit lock (ADVICE r3): a sweep racing a concurrent
+        append could delete a data directory the in-flight manifest is
+        about to reference."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        lock = self._acquire_commit_lock(table)
+        try:
+            return self._expire_locked(table, keep_last)
+        finally:
+            self._release_commit_lock(lock)
+
+    def _expire_locked(self, table: str, keep_last: int) -> list[str]:
+        import shutil
+
         chain = self.history(table)
         keep, expire = chain[:keep_last], chain[keep_last:]
         keep_files = {f for m in keep for f in m["files"]}
@@ -207,8 +232,8 @@ class SnapshotCatalog:
         # (a dangling parent would poison history() with FileNotFoundError)
         for m in survivors:
             if m.get("parent") in expired_ids:
-                with open(
-                    self._manifest_path(table, m["snapshot_id"]), "w"
-                ) as f:
+                mp = self._manifest_path(table, m["snapshot_id"])
+                with open(mp + ".tmp", "w") as f:
                     json.dump(dict(m, parent=None), f, indent=1)
+                os.replace(mp + ".tmp", mp)
         return removed

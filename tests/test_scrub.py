@@ -97,6 +97,16 @@ IP_CC_CASES = [
     # lookbehind in the portable dialect) — over-masking toward safety,
     # consistent across engines
     ("ids 4234 5678 9012 3456 7890 end", "ids 4234 <CC> end"),
+    # trunk-prefix NANP (ADVICE r3: '1-555-123-4567' used to escape
+    # entirely after '-'/'.' left the leading boundary class — covered now
+    # by an explicit 1-XXX-XXX-XXXX alternative)
+    ("call 1-555-123-4567 now", "call <PHONE> now"),
+    ("1-555-123-4567", "<PHONE>"),
+    ("fax 1.555.123.4567 end", "fax <PHONE> end"),
+    ("intl +1-555-123-4567 ok", "intl <PHONE> ok"),
+    # mid-digit-run anchoring still rejected (the reason for the exclusion)
+    ("ref 21-555-123-4567 code", "ref 21-555-123-4567 code"),
+    ("long 1-555-123-45678 id", "long 1-555-123-45678 id"),
 ]
 
 
