@@ -2927,6 +2927,77 @@ SQL_TWO_PHASE_AGG = """
 """
 
 
+def q_code_exec_verify(spark, sf_dir):
+    """Sandboxed code-execution judge (open_thoughts/code/judge.py:73-172
+    parity): generated code + JSON test cases -> subprocess-isolated
+    execution with timeout -> per-row verdict. Five deterministic fixture
+    families derived from documents exercise every verdict path; the
+    verdicts are integers/booleans the SQL oracle predicts exactly because
+    the planted code is deterministic — the Spark side REALLY executes it.
+    doc_id % 10 < 2 keeps the subprocess count bench-sane (~1.2 spawns/doc
+    at ~45 ms each); coverage still scales with sf."""
+    from open_thoughts_spark.operators.code_judge import code_exec_judge
+
+    docs = _docs_spread(spark, sf_dir).filter(F.col("doc_id") % 10 < 2)
+    m5 = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    echo_code = F.lit(
+        "Here is my solution:\n```python\nimport sys\n"
+        "print(int(sys.stdin.read()) * 2)\n```"
+    )
+    cb_code = F.concat(
+        F.lit("```python\ndef add_k(x):\n    return x + "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n```"),
+    )
+    response = (
+        F.when(m5 == 3, F.lit("no fenced code in this response"))
+        .when(m5 == 2, F.lit("```python\ndef broken(:\n```"))
+        .when(m5 == 4, cb_code)
+        .otherwise(echo_code)
+    )
+    two_in = F.concat(
+        F.lit('{"inputs": ["'), did, F.lit('", "'),
+        (F.col("doc_id") + 1).cast("string"), F.lit('"], "outputs": ["'),
+        (F.col("doc_id") * 2).cast("string"), F.lit('", "'),
+    )
+    tests = (
+        F.when(
+            m5 == 4,
+            F.concat(
+                F.lit('{"fn_name": "add_k", "inputs": [['), did,
+                F.lit(']], "outputs": ['),
+                (F.col("doc_id") + F.col("doc_id") % 7).cast("string"),
+                F.lit("]}"),
+            ),
+        )
+        .when(m5 == 1, F.concat(two_in, F.lit('999x"]}')))  # 2nd test wrong
+        .otherwise(
+            F.concat(two_in, (F.col("doc_id") * 2 + 2).cast("string"), F.lit('"]}'))
+        )
+    )
+    judged = code_exec_judge(
+        docs.select("doc_id", response.alias("response"), tests.alias("tests")),
+        timeout_s=3.0,
+    )
+    return judged.select("doc_id", "correct", "judge_reason", "n_passed", "n_tests")
+
+
+SQL_CODE_EXEC_VERIFY = """
+    select doc_id,
+      (doc_id % 5 in (0, 4)) as correct,
+      case doc_id % 5
+        when 1 then 'false'
+        when 2 then 'returncode:1'
+        when 3 then 'no_code'
+        else '' end as judge_reason,
+      case doc_id % 5 when 1 then 1 when 2 then 0 when 3 then 0
+        when 4 then 1 else 2 end as n_passed,
+      case doc_id % 5 when 3 then 0 when 4 then 1 else 2 end as n_tests
+    from documents where doc_id % 10 < 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": q_tpch_q1,
@@ -3008,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_vote_per_user": q_majority_vote,
         "k_shortest_per_lang": q_k_shortest,
         "skew_two_phase_agg": q_two_phase_agg,
+        "code_exec_verify": q_code_exec_verify,
     }
 
 
@@ -3085,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "majority_vote_per_user": SQL_MAJORITY_VOTE,
         "k_shortest_per_lang": SQL_K_SHORTEST,
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
+        "code_exec_verify": SQL_CODE_EXEC_VERIFY,
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,

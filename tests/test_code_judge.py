@@ -1,0 +1,124 @@
+"""Sandboxed code-execution judge (operators/code_judge.py) — verdict
+paths, comparison ladder, subprocess isolation, and the Spark map."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from open_thoughts_spark.operators.code_judge import (
+    code_exec_judge,
+    compare_cb_result,
+    compare_std_outputs,
+    extract_code_blocks,
+    filter_correct_code,
+    judge_one,
+    parse_tests,
+)
+
+ECHO = "sol:\n```python\nimport sys\nprint(int(sys.stdin.read()) * 2)\n```"
+T_OK = json.dumps({"inputs": ["21"], "outputs": ["42"]})
+
+
+def test_extract_code_blocks_last_wins():
+    resp = "```python\nfirst\n```\ntext\n```\nsecond\n```"
+    assert extract_code_blocks(resp) == ["first\n", "second\n"]
+    assert extract_code_blocks("no fences") == []
+    assert extract_code_blocks(None) == []
+
+
+def test_parse_tests_filters():
+    # filters.py:16-31 semantics: dict with non-empty inputs AND outputs
+    assert parse_tests('{"inputs": [], "outputs": []}') is None
+    assert parse_tests('{"inputs": ["1"], "outputs": []}') is None
+    assert parse_tests("not json {") is None
+    assert parse_tests('["a", "list"]') is None
+    assert parse_tests('{"inputs": ["1"], "outputs": ["2"]}') is not None
+    # ast.literal_eval fallback (python-literal dicts with single quotes)
+    assert parse_tests("{'inputs': ['1'], 'outputs': ['2']}") is not None
+
+
+def test_judge_std_pass_fail():
+    assert judge_one(ECHO, T_OK, timeout_s=5) == (True, "", 1, 1)
+    t_bad = json.dumps({"inputs": ["21"], "outputs": ["43"]})
+    assert judge_one(ECHO, t_bad, timeout_s=5) == (False, "false", 0, 1)
+
+
+def test_judge_early_stop_counts():
+    t3 = json.dumps({"inputs": ["1", "2", "3"], "outputs": ["2", "5", "6"]})
+    # test 1 passes, test 2 fails -> stop; test 3 never runs
+    assert judge_one(ECHO, t3, timeout_s=5) == (False, "false", 1, 3)
+    # without early stop, test 3 passes too
+    assert judge_one(ECHO, t3, timeout_s=5, early_stop=False) == (
+        False, "false", 2, 3,
+    )
+
+
+def test_judge_compile_error_and_no_code():
+    bad = "```python\ndef broken(:\n```"
+    correct, reason, np_, nt = judge_one(bad, T_OK, timeout_s=5)
+    assert (correct, np_, nt) == (False, 0, 1)
+    assert reason.startswith("returncode:")
+    assert judge_one("prose only", T_OK) == (False, "no_code", 0, 0)
+    assert judge_one(ECHO, "junk {") == (False, "bad_tests", 0, 0)
+
+
+def test_judge_timeout():
+    spin = "```python\nwhile True:\n    pass\n```"
+    assert judge_one(spin, T_OK, timeout_s=1.0) == (False, "timeout", 0, 1)
+
+
+def test_judge_call_based_and_solution_class():
+    t = json.dumps({"fn_name": "add3", "inputs": [[7], [0]], "outputs": [10, 3]})
+    fn = "```python\ndef add3(x):\n    return x + 3\n```"
+    assert judge_one(fn, t, timeout_s=5) == (True, "", 2, 2)
+    cls = (
+        "```python\nclass Solution:\n    def add3(self, x):\n"
+        "        return x + 3\n```"
+    )
+    assert judge_one(cls, t, timeout_s=5) == (True, "", 2, 2)
+
+
+def test_judge_sandbox_isolated_mode():
+    # python -I: cwd/script dir not on sys.path, so a judged solution can't
+    # import repo modules — the isolation posture, observable from outside
+    sneaky = "```python\nimport open_thoughts_spark\nprint('in')\n```"
+    correct, reason, *_ = judge_one(sneaky, T_OK, timeout_s=5)
+    assert not correct and reason.startswith("returncode:")
+
+
+def test_compare_std_outputs_ladder():
+    assert compare_std_outputs(" 42 \n", "42")
+    assert compare_std_outputs("1\n2\n\n", ["1", "2"])
+    assert compare_std_outputs("a b\nc\n", "  a b \n\n c ")
+    # float tolerance (np.allclose default rtol=1e-5)
+    assert compare_std_outputs("0.3000001\n", "0.3")
+    assert not compare_std_outputs("0.31\n", "0.3")
+    # unordered tokens per line (check4/5 rungs)
+    assert compare_std_outputs("b a\n", "a b")
+    assert not compare_std_outputs("a b\n", "a c")
+
+
+def test_compare_cb_result():
+    assert compare_cb_result("[1, 2]", (1, 2))
+    assert compare_cb_result("3", 3)
+    assert compare_cb_result("3.0000001", 3.0)
+    assert compare_cb_result("[3]", 3)
+    assert not compare_cb_result("[1, 2]", [2, 1])
+    assert not compare_cb_result("not json", 3)
+
+
+def test_code_exec_judge_spark(spark):
+    rows = [
+        (0, ECHO, T_OK),
+        (1, "no code", T_OK),
+        (2, ECHO, json.dumps({"inputs": ["5"], "outputs": ["11"]})),
+    ]
+    df = spark.createDataFrame(rows, "id int, response string, tests string")
+    out = code_exec_judge(df, timeout_s=5).orderBy("id").collect()
+    assert [r["correct"] for r in out] == [True, False, False]
+    assert [r["judge_reason"] for r in out] == ["", "no_code", "false"]
+    assert [(r["n_passed"], r["n_tests"]) for r in out] == [(1, 1), (0, 0), (0, 1)]
+    kept = filter_correct_code(df, timeout_s=5).collect()
+    assert [r["id"] for r in kept] == [0]
