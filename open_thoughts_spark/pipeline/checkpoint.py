@@ -18,6 +18,14 @@ On an Iceberg deployment the snapshot path becomes an Iceberg snapshot id /
 branch (``df.writeTo(table).createOrReplace()`` + snapshot metadata); the
 manifest logic is identical — parquet dirs stand in for snapshots in this
 sandbox (no Iceberg jars are available offline).
+
+Catalog mode (VERDICT r3 #3): pass a ``SnapshotCatalog`` + table name and
+stage boundaries commit THROUGH the catalog instead of raw parquet dirs —
+the manifest maps stage hash -> snapshot id, resume is a catalog
+time-travel read, and ``rollback_to`` repoints the catalog at an earlier
+stage's snapshot while invalidating every downstream stage hash, so the
+next ``run`` recomputes exactly the rolled-back-past suffix. One
+mechanism, not two parallel ones.
 """
 
 from __future__ import annotations
@@ -85,11 +93,17 @@ class CheckpointedPipeline:
         checkpoint_dir: str,
         stages: list[Stage],
         snapshot_every: int = 1,
+        catalog=None,
+        table: str | None = None,
     ):
         self.spark = spark
         self.dir = checkpoint_dir
         self.stages = stages
         self.snapshot_every = max(snapshot_every, 1)
+        if catalog is not None and not table:
+            raise ValueError("catalog mode needs a table name")
+        self.catalog = catalog
+        self.table = table
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._manifest_path = os.path.join(checkpoint_dir, "manifest.json")
         self.manifest: dict = self._load_manifest()
@@ -111,7 +125,90 @@ class CheckpointedPipeline:
         entry = self.manifest["stages"].get(h)
         if not entry:
             return False
+        if "snapshot_id" in entry:
+            return os.path.exists(
+                self.catalog._manifest_path(self.table, entry["snapshot_id"])
+            )
         return os.path.exists(os.path.join(entry["path"], "_SUCCESS"))
+
+    def _commit_boundary(self, df: DataFrame, stage: Stage, h: str) -> DataFrame:
+        """Materialize one boundary: catalog snapshot (overwrite commit —
+        the parent chain keeps earlier stages time-travelable) or a raw
+        parquet dir, then read it back so downstream stages consume the
+        durable copy."""
+        if self.catalog is not None:
+            snap_id = self.catalog.write(df, self.table, mode="overwrite")
+            self.manifest["stages"][h] = {
+                "stage": stage.name,
+                "snapshot_id": snap_id,
+            }
+            self._save_manifest()
+            return self.catalog.read(self.spark, self.table, snap_id)
+        path = os.path.join(self.dir, f"{stage.name}-{h}")
+        df.write.mode("overwrite").parquet(path)
+        self.manifest["stages"][h] = {
+            "stage": stage.name,
+            "path": path,
+            "upstream": True,
+        }
+        self._save_manifest()
+        return self.spark.read.parquet(path)
+
+    def _read_boundary(self, h: str) -> DataFrame:
+        entry = self.manifest["stages"][h]
+        if "snapshot_id" in entry:
+            return self.catalog.read(self.spark, self.table, entry["snapshot_id"])
+        return self.spark.read.parquet(entry["path"])
+
+    def chain_hashes(self, input_fingerprint: str) -> list[tuple[str, Stage]]:
+        """The (hash, stage) chain this input would produce — the same
+        derivation ``run`` uses, exposed for lineage and rollback."""
+        out = []
+        upstream = input_fingerprint
+        for stage in self.stages:
+            h = stage_hash(stage.name, stage.config, upstream)
+            out.append((h, stage))
+            upstream = h
+        return out
+
+    def lineage(self, input_fingerprint: str) -> list[dict]:
+        """Stage lineage table: name, hash, and the snapshot id / path the
+        manifest currently maps it to (None = not materialized)."""
+        rows = []
+        for h, stage in self.chain_hashes(input_fingerprint):
+            entry = self.manifest["stages"].get(h, {})
+            rows.append(
+                {
+                    "stage": stage.name,
+                    "hash": h,
+                    "snapshot_id": entry.get("snapshot_id"),
+                    "path": entry.get("path"),
+                }
+            )
+        return rows
+
+    def rollback_to(self, stage_name: str, input_fingerprint: str) -> str:
+        """Repoint the catalog at ``stage_name``'s snapshot and invalidate
+        every downstream stage hash, so the next ``run`` resumes at the
+        target and recomputes only the suffix (the reference contract:
+        rollback = metadata repoint + cache invalidation below it).
+        Returns the snapshot id rolled back to."""
+        if self.catalog is None:
+            raise ValueError("rollback_to requires catalog mode")
+        chain = self.chain_hashes(input_fingerprint)
+        names = [s.name for _, s in chain]
+        if stage_name not in names:
+            raise ValueError(f"unknown stage: {stage_name}")
+        idx = names.index(stage_name)
+        target_h = chain[idx][0]
+        entry = self.manifest["stages"].get(target_h)
+        if not entry or "snapshot_id" not in entry:
+            raise ValueError(f"stage {stage_name} has no committed snapshot")
+        self.catalog.rollback(self.table, entry["snapshot_id"])
+        for h, _ in chain[idx + 1:]:
+            self.manifest["stages"].pop(h, None)
+        self._save_manifest()
+        return entry["snapshot_id"]
 
     def run(self, df: DataFrame, input_fingerprint: str) -> DataFrame:
         """Execute the chain, reading back any stage whose snapshot exists.
@@ -131,11 +228,17 @@ class CheckpointedPipeline:
             )
             if is_boundary and self._snapshot_ok(h):
                 # resume: drop everything queued, read the snapshot
-                entry = self.manifest["stages"][h]
-                df = self.spark.read.parquet(entry["path"])
+                df = self._read_boundary(h)
                 pending = []
                 self.events.append(
-                    {"stage": stage.name, "hash": h, "action": "resumed"}
+                    {
+                        "stage": stage.name,
+                        "hash": h,
+                        "action": "resumed",
+                        "snapshot_id": self.manifest["stages"][h].get(
+                            "snapshot_id"
+                        ),
+                    }
                 )
                 continue
             pending.append((h, stage))
@@ -147,13 +250,8 @@ class CheckpointedPipeline:
                     {"stage": pstage.name, "hash": ph, "action": "computed"}
                 )
             pending = []
-            path = os.path.join(self.dir, f"{stage.name}-{h}")
-            df.write.mode("overwrite").parquet(path)
-            self.manifest["stages"][h] = {
-                "stage": stage.name,
-                "path": path,
-                "upstream": True,
-            }
-            self._save_manifest()
-            df = self.spark.read.parquet(path)
+            df = self._commit_boundary(df, stage, h)
+            self.events[-1]["snapshot_id"] = self.manifest["stages"][h].get(
+                "snapshot_id"
+            )
         return df

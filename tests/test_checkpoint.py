@@ -201,3 +201,71 @@ def test_snapshot_expiry_repairs_offchain_parents(spark, tmp_path):
     assert hist[0]["parent"] is None
     # s2's shared file (from s1, referenced forward) must still be readable
     assert sorted(r["id"] for r in cat.read(spark, "t", s2).collect()) == [1, 2]
+
+
+def test_catalog_checkpoint_resume_rollback_rerun(spark, tmp_path):
+    """VERDICT r3 #3: one mechanism — stage hash -> snapshot id, resume =
+    catalog read, rollback invalidates downstream stage hashes."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    stages = [
+        Stage("double", lambda d: d.withColumn("v", F.col("v") * 2)),
+        Stage("filter", lambda d: d.filter(F.col("v") % 8 == 0)),
+    ]
+    pipe = CheckpointedPipeline(
+        spark, str(tmp_path / "ck"), stages, catalog=cat, table="pipe"
+    )
+    out1 = pipe.run(df, input_fingerprint="fp1")
+    r1 = _rows(out1)
+    assert [e["action"] for e in pipe.events] == ["computed", "computed"]
+    lin = pipe.lineage("fp1")
+    assert all(row["snapshot_id"] for row in lin)
+    snap_stage1, snap_stage2 = lin[0]["snapshot_id"], lin[1]["snapshot_id"]
+    assert cat.current_snapshot("pipe") == snap_stage2
+
+    # fresh pipeline object over the same manifest: full resume via catalog
+    pipe2 = CheckpointedPipeline(
+        spark, str(tmp_path / "ck"), stages, catalog=cat, table="pipe"
+    )
+    out2 = pipe2.run(df, input_fingerprint="fp1")
+    assert _rows(out2) == r1
+    assert pipe2.events[-1]["action"] == "resumed"
+    assert pipe2.events[-1]["snapshot_id"] == snap_stage2
+
+    # rollback to stage 1: catalog repoints, downstream hash invalidated
+    rolled = pipe2.rollback_to("double", "fp1")
+    assert rolled == snap_stage1
+    assert cat.current_snapshot("pipe") == snap_stage1
+    assert pipe2.lineage("fp1")[1]["snapshot_id"] is None
+    # time travel still reads the stage-1 output
+    assert cat.read(spark, "pipe", snap_stage1).count() == 100
+
+    # re-run after rollback: stage 1 resumes, stage 2 recomputes, same rows
+    out3 = pipe2.run(df, input_fingerprint="fp1")
+    assert _rows(out3) == r1
+    assert [e["action"] for e in pipe2.events] == ["resumed", "computed"]
+    new_snap2 = pipe2.lineage("fp1")[1]["snapshot_id"]
+    assert new_snap2 and new_snap2 != snap_stage2
+    assert cat.current_snapshot("pipe") == new_snap2
+
+
+def test_catalog_checkpoint_requires_table_and_snapshot(spark, tmp_path):
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "wh2"))
+    with pytest.raises(ValueError):
+        CheckpointedPipeline(spark, str(tmp_path / "c"), [], catalog=cat)
+    pipe = CheckpointedPipeline(
+        spark, str(tmp_path / "c2"),
+        [Stage("s", lambda d: d)], catalog=cat, table="t",
+    )
+    with pytest.raises(ValueError):
+        pipe.rollback_to("s", "never-ran")
+    nocat = CheckpointedPipeline(
+        spark, str(tmp_path / "c3"), [Stage("s", lambda d: d)]
+    )
+    with pytest.raises(ValueError):
+        nocat.rollback_to("s", "fp")
