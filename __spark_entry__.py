@@ -2311,6 +2311,43 @@ def q_map_url_classify(spark, sf_dir):
     )
 
 
+def q_map_url_classify_repeat(spark, sf_dir):
+    """The completions n_repeat knob (completions_operator.py:53,61-65):
+    every input row is duplicated n_repeat times BEFORE the map (narrow
+    explode, no shuffle) — with the deterministic mock backend the two
+    copies produce identical classifications, so the oracle is the same
+    query cross-joined with a 2-row range."""
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("mathacademy"))
+            .otherwise(F.lit("shop")),
+            (F.col("doc_id") % 61).cast("string"),
+            F.lit(".example.org"),
+        ).alias("url"),
+    )
+    return apply_map(
+        docs, MAPS["url_classify"], n_repeat=2, merge_shards=8
+    ).select("doc_id", "url", "url_classification")
+
+
+SQL_MAP_URL_CLASSIFY_REPEAT = """
+    with u as (
+      select doc_id,
+        (case when doc_id % 3 = 0 then 'mathacademy' else 'shop' end)
+          || (doc_id % 61)::varchar || '.example.org' as url
+      from documents cross join range(2)
+    )
+    select doc_id, url,
+      regexp_matches(url,
+        '(?i)(edu|school|university|academy|learn|course|tutorial|math|khan)')
+        as url_classification
+    from u
+"""
+
+
 SQL_MAP_URL_CLASSIFY = """
     with u as (
       select doc_id,
@@ -3080,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_shortest_per_lang": q_k_shortest,
         "skew_two_phase_agg": q_two_phase_agg,
         "code_exec_verify": q_code_exec_verify,
+        "map_url_classify_repeat": q_map_url_classify_repeat,
     }
 
 
@@ -3158,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "k_shortest_per_lang": SQL_K_SHORTEST,
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
         "code_exec_verify": SQL_CODE_EXEC_VERIFY,
+        "map_url_classify_repeat": SQL_MAP_URL_CLASSIFY_REPEAT,
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,

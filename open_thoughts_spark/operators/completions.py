@@ -53,12 +53,23 @@ def completions(
     out_col: str = "completion",
     backend: Callable[[pd.Series], pd.Series] = mock_backend,
     batch_size: int = 256,
+    n_repeat: int = 1,
+    merge_shards: int | None = None,
 ) -> DataFrame:
     """Annotate each row with a parsed completion.
 
     The whole row batch flows through build_prompt → backend → parse; keep
     ``batch_size`` aligned with the backend's concurrency budget.
+    ``n_repeat`` duplicates rows before prompting (narrow explode —
+    completions_operator.py:53,61-65); ``merge_shards`` coalesces the
+    output to that many partitions (:64 merge_shards, int-generalized).
     """
+    if n_repeat < 1:
+        raise ValueError(f"n_repeat must be >= 1, got {n_repeat}")
+    if n_repeat > 1:
+        from open_thoughts_spark.operators.relational import repeat_dataset
+
+        df = repeat_dataset(df, n_repeat)
     in_cols = df.columns
     schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in in_cols)
     schema += f", `{out_col}` string"
@@ -71,7 +82,10 @@ def completions(
                 chunk[out_col] = cmap.parse_response(backend(prompts))
                 yield chunk
 
-    return df.mapInPandas(_runner, schema=schema)
+    out = df.mapInPandas(_runner, schema=schema)
+    if merge_shards:
+        out = out.coalesce(merge_shards)
+    return out
 
 
 IDENTITY_MAP = CompletionMap(

@@ -1649,14 +1649,31 @@ def apply_map(
     rich_map: RichMap,
     backend: Callable[[pd.Series], pd.Series] | None = None,
     batch_size: int = 256,
+    n_repeat: int = 1,
+    merge_shards: int | None = None,
 ) -> DataFrame:
     """Run a RichMap over every row: chunk → prompts → backend → parsed
     output columns appended (mapInPandas; same harness economics as
-    operators/completions.py — per-executor batch = rate-limit unit)."""
+    operators/completions.py — per-executor batch = rate-limit unit).
+
+    ``n_repeat`` duplicates every input row n times BEFORE the map
+    (completions_operator.py:53,61-65 n_repeat -> repeat_dataset) via a
+    narrow explode — with a sampling backend each copy draws its own
+    completion; with the deterministic mock the copies are value-checkable
+    duplicates. ``merge_shards`` coalesces the OUTPUT to that many
+    partitions (the reference's merge_shards=True collapses shards into
+    one dataset; an int keeps the policy scale-tunable — 1 reproduces the
+    reference)."""
     backend = backend or rich_map.mock
     missing = [c for c in rich_map.input_cols if c not in df.columns]
     if missing:
         raise ValueError(f"map {rich_map.name}: missing input columns {missing}")
+    if n_repeat < 1:
+        raise ValueError(f"n_repeat must be >= 1, got {n_repeat}")
+    if n_repeat > 1:
+        from open_thoughts_spark.operators.relational import repeat_dataset
+
+        df = repeat_dataset(df, n_repeat)
     schema = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in df.columns
     )
@@ -1672,4 +1689,7 @@ def apply_map(
                     chunk[col] = parsed[col].to_numpy()
                 yield chunk
 
-    return df.mapInPandas(_runner, schema=schema)
+    out = df.mapInPandas(_runner, schema=schema)
+    if merge_shards:
+        out = out.coalesce(merge_shards)
+    return out

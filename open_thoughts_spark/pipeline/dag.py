@@ -41,6 +41,104 @@ class DAGParseError(ValueError):
     pass
 
 
+# --- typed per-operator config validation (VERDICT r3 #4) ---
+#
+# The reference dispatches YAML `type:` through pydantic config classes that
+# reject unknown/missing fields at parse time
+# (engine/operators/operator.py:156-240 CONFIG_TYPE_MAP + parse_specific_
+# config). Same contract here with a dependency-free dict-spec: every
+# registry type declares required/optional keys with python types; a typo'd
+# key or missing field fails in parse_dag, not minutes later inside the
+# operator.
+
+@dataclass(frozen=True)
+class ConfigSpec:
+    required: dict[str, type | tuple]
+    optional: dict[str, type | tuple] = field(default_factory=dict)
+
+
+_NUM = (int, float)
+
+CONFIG_SPECS: dict[str, ConfigSpec] = {
+    "parquet_source": ConfigSpec({"path": str}),
+    "function": ConfigSpec(
+        {"function": str}, {"kwargs": dict, "multi_input": bool}
+    ),
+    "filter": ConfigSpec({"condition": str}),
+    "select": ConfigSpec({"columns": list}),
+    # keys mirror pipeline.quality_filter's keyword surface
+    "quality_filter": ConfigSpec(
+        {},
+        {
+            "langid_mode": str,
+            "with_turn_order": bool,
+            "with_conv_stats": bool,
+            "compute_ppl": bool,
+            "role_col": (str, type(None)),
+        },
+    ),
+    "mix": ConfigSpec({"key_cols": list}, {"shard_ids": list}),
+    "merge": ConfigSpec({"on": (str, list)}),
+    "dedup_exact": ConfigSpec({"id_col": str, "text_col": str}),
+    "minhash_dedup": ConfigSpec(
+        {"id_col": str, "text_col": str},
+        {"min_jaccard": _NUM, "transitive": bool},
+    ),
+    "truncate": ConfigSpec({"n": int}),
+    "completions_map": ConfigSpec(
+        {"map": str}, {"n_repeat": int, "merge_shards": int}
+    ),
+    "scrub": ConfigSpec({}, {"text_col": str}),
+    "add_constant": ConfigSpec({"column": str}, {"value": object}),
+    "load_preexisting": ConfigSpec({"framework_name": str}),
+}
+
+# keys the parser/runtime inject or consume itself
+_META_KEYS = {"type", "_base"}
+
+
+def validate_config(oid: str, cfg: dict) -> None:
+    """Reject unknown and missing config keys for ``cfg['type']`` — the
+    parse-time half of the reference's pydantic validation. Type errors
+    name the operator, the key, and what was expected."""
+    spec = CONFIG_SPECS.get(cfg["type"])
+    if spec is None:
+        # registry entries without a spec (user-registered operators) keep
+        # the old pass-through behavior
+        return
+    keys = set(cfg) - _META_KEYS
+    unknown = sorted(keys - set(spec.required) - set(spec.optional))
+    if unknown:
+        raise DAGParseError(
+            f"operator {oid}: unknown config key(s) for type "
+            f"'{cfg['type']}': {', '.join(unknown)}"
+        )
+    missing = sorted(set(spec.required) - keys)
+    if missing:
+        raise DAGParseError(
+            f"operator {oid}: missing required config key(s) for type "
+            f"'{cfg['type']}': {', '.join(missing)}"
+        )
+    for key, expected in {**spec.required, **spec.optional}.items():
+        if key not in cfg or expected is object:
+            continue
+        val = cfg[key]
+        if isinstance(expected, type):
+            expected = (expected,)
+        # bool is an int subclass — don't let true/false satisfy an int slot
+        if isinstance(val, bool) and bool not in expected:
+            pass
+        elif isinstance(val, expected):
+            continue
+        names = "/".join(
+            t.__name__ if t is not type(None) else "null" for t in expected
+        )
+        raise DAGParseError(
+            f"operator {oid}: config key '{key}' for type '{cfg['type']}' "
+            f"expects {names}, got {type(val).__name__}"
+        )
+
+
 def parse_dag(
     config: dict,
     frameworks: dict[str, dict] | None = None,
@@ -127,6 +225,7 @@ def _parse_into(
         else:
             input_ids = [prev] if prev is not None else []
         if cfg["type"] == "load_preexisting":
+            validate_config(oid, cfg)
             fname = cfg.get("framework_name")
             if not fname:
                 raise DAGParseError(
@@ -155,6 +254,7 @@ def _parse_into(
             raise DAGParseError(
                 f"operator {oid}: unknown operator type: {cfg['type']}"
             )
+        validate_config(oid, cfg)
         local.append(OpSpec(id=oid, config=cfg, input_ids=input_ids))
         prev = oid
     if renaming:
@@ -330,7 +430,12 @@ def _op_completions_map(spark, cfg, inputs):
     name = cfg["map"]
     if name not in MAPS:
         raise DAGParseError(f"unknown completions map: {name}")
-    return apply_map(_one(inputs, "completions_map"), MAPS[name])
+    return apply_map(
+        _one(inputs, "completions_map"),
+        MAPS[name],
+        n_repeat=cfg.get("n_repeat", 1),
+        merge_shards=cfg.get("merge_shards"),
+    )
 
 
 def _op_scrub(spark, cfg, inputs):

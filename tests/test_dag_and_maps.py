@@ -443,3 +443,104 @@ def test_load_preexisting_yaml_end_to_end(spark):
     assert df.columns == ["doc_id", "lang", "drop_reason", "scrubbed_text"]
     assert df.count() > 0
     assert df.filter(F.col("drop_reason") != "kept").count() == 0
+
+
+# --- typed config validation (VERDICT r3 #4; engine/tests/test_parse.py
+# spirit: configs reject unknown/missing/mistyped fields at parse time) ---
+
+def _cfg(ops):
+    return {"name": "t", "operators": ops}
+
+
+@pytest.mark.parametrize(
+    "config, msg",
+    [
+        # unknown key (the typo case that used to fail late in the operator)
+        (
+            _cfg([_op("s", "parquet_source", path="x", pathh="y")]),
+            "unknown config key",
+        ),
+        # missing required key
+        (_cfg([_op("s", "parquet_source")]), "missing required config key"),
+        # wrong type
+        (
+            _cfg([_op("s", "parquet_source", path=42)]),
+            "expects str, got int",
+        ),
+        (
+            _cfg([
+                _op("s", "parquet_source", path="x"),
+                _op("t", "truncate", n="ten"),
+            ]),
+            "expects int, got str",
+        ),
+        # bool must not satisfy an int slot
+        (
+            _cfg([
+                _op("s", "parquet_source", path="x"),
+                _op("t", "truncate", n=True),
+            ]),
+            "expects int, got bool",
+        ),
+        # quality_filter kwargs are typo-checked at parse time too
+        (
+            _cfg([
+                _op("s", "parquet_source", path="x"),
+                _op("q", "quality_filter", langid_mod="udf"),
+            ]),
+            "unknown config key",
+        ),
+        (
+            _cfg([_op("lp", "load_preexisting", framework_name=1)]),
+            "expects str, got int",
+        ),
+    ],
+)
+def test_typed_config_validation_rejects(config, msg):
+    with pytest.raises(DAGParseError, match=msg):
+        parse_dag(config, frameworks={"f": {"name": "f", "operators": []}})
+
+
+def test_typed_config_validation_accepts_valid():
+    dag = parse_dag(
+        _cfg([
+            _op("s", "parquet_source", path="x"),
+            _op("q", "quality_filter", langid_mode="native", role_col=None),
+            _op("m", "completions_map", map="url_classify", n_repeat=3,
+                merge_shards=1),
+        ])
+    )
+    assert [o.id for o in dag.operators] == ["s", "q", "m"]
+
+
+def test_apply_map_n_repeat_and_merge_shards(spark):
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    df = spark.createDataFrame(
+        [(1, "mathacademy1.example.org"), (2, "shop2.example.org")],
+        "doc_id int, url string",
+    )
+    out = apply_map(df, MAPS["url_classify"], n_repeat=3, merge_shards=1)
+    rows = out.collect()
+    assert len(rows) == 6
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["url_classification"])
+    # deterministic mock: all copies agree; classification is per-url
+    assert by_id[1] == [True, True, True]
+    assert by_id[2] == [False, False, False]
+    assert out.rdd.getNumPartitions() == 1
+    with pytest.raises(ValueError, match="n_repeat"):
+        apply_map(df, MAPS["url_classify"], n_repeat=0)
+
+
+def test_completions_n_repeat(spark):
+    from open_thoughts_spark.operators.completions import (
+        IDENTITY_MAP, completions,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    out = completions(df, IDENTITY_MAP, n_repeat=2, merge_shards=1)
+    got = sorted(r["completion"] for r in out.collect())
+    # mock backend is deterministic -> copies identical
+    assert len(got) == 4 and got[0] == got[1] and got[2] == got[3]
