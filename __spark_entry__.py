@@ -1457,6 +1457,14 @@ def q_decontaminate_benchmarks(spark, sf_dir):
     fixture 'benchmarks' (src0/src1 documents as eval sets) run through the
     per-benchmark mask; output is the production metrics table
     (benchmark, contaminated_count)."""
+    from open_thoughts_spark.operators.decontaminate import (
+        EvalBenchmark, register_benchmark,
+    )
+
+    # per-benchmark threshold override (VERDICT r3 #9): srcB decontaminates
+    # at 4-gram while the call-level default stays 3-gram — the reference's
+    # 114k-vs-DCFT split (decontaminate.py:12 vs the DCFT yaml constants)
+    register_benchmark(EvalBenchmark("fixture/srcB", ("text",), ngram_n=4))
     docs = _t(spark, sf_dir, "documents")
     pool = docs.filter(~F.col("source").isin("src0", "src1"))
     frames = {
@@ -1472,22 +1480,28 @@ SQL_DECONTAMINATE_BENCHMARKS = f"""
     with w as (
       select doc_id, source, {WORDS_SQL} as words
       from documents
-    ), sh as (
+    ), sh3 as (
       select doc_id, source, unnest(list_distinct([
         array_to_string(words[i:i+2], ' ')
         for i in range(1, greatest(len(words) - 2, 0) + 1)
       ])) as sh
       from w
+    ), sh4 as (
+      select doc_id, source, unnest(list_distinct([
+        array_to_string(words[i:i+3], ' ')
+        for i in range(1, greatest(len(words) - 3, 0) + 1)
+      ])) as sh
+      from w
     )
     select 'fixture/srcA' as benchmark,
       count(distinct d.doc_id) as contaminated_count
-    from sh d join (select distinct sh from sh where source = 'src0') e
+    from sh3 d join (select distinct sh from sh3 where source = 'src0') e
       on d.sh = e.sh
     where d.source not in ('src0', 'src1')
     union all
     select 'fixture/srcB' as benchmark,
       count(distinct d.doc_id) as contaminated_count
-    from sh d join (select distinct sh from sh where source = 'src1') e
+    from sh4 d join (select distinct sh from sh4 where source = 'src1') e
       on d.sh = e.sh
     where d.source not in ('src0', 'src1')
 """

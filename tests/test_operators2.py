@@ -364,6 +364,43 @@ def test_benchmark_registry_contamination(spark):
         )
 
 
+def test_benchmark_per_threshold_overrides(spark):
+    """VERDICT r3 #9: registry ngram_n / min_jaccard override the caller
+    defaults per benchmark (the reference's 114k-vs-DCFT threshold split)."""
+    from open_thoughts_spark.operators.decontaminate import (
+        EVAL_BENCHMARKS,
+        EvalBenchmark,
+        benchmark_contamination_report,
+        register_benchmark,
+    )
+
+    pool = spark.createDataFrame(
+        [
+            # shares a 3-gram but NOT a 5-gram with the eval text
+            (1, "alpha beta gamma nothing else here at all today"),
+            (2, "completely disjoint words with zero overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], "text string"
+    )
+    try:
+        register_benchmark(EvalBenchmark("fx/loose", ("text",)))
+        register_benchmark(EvalBenchmark("fx/strict", ("text",), ngram_n=5))
+        rep = {
+            r["benchmark"]: r["contaminated_count"]
+            for r in benchmark_contamination_report(
+                pool, {"fx/loose": ev, "fx/strict": ev}, "doc_id", "text", n=3
+            ).collect()
+        }
+        # same eval set, same call: the 5-gram benchmark sees no hit
+        assert rep == {"fx/loose": 1, "fx/strict": 0}
+    finally:
+        EVAL_BENCHMARKS.pop("fx/loose", None)
+        EVAL_BENCHMARKS.pop("fx/strict", None)
+
+
 def test_lcs_duckdb_recursion_parity_fuzz():
     """The REAL rouge_seed_filter oracle (SQL_ROUGE_SEED_FILTER, not a
     copy) must agree with the Python ROUGE-L path on crafted documents —
