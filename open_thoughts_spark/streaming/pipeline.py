@@ -175,3 +175,170 @@ def stream_decontaminate(
         return col.map(check)
 
     return stream_df.filter(~_contaminated(grams))
+
+
+def _minhash_band_rows(
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    shingle_n: int,
+    bands: int,
+    rows_per_band: int,
+):
+    """Arrow-batched pandas UDF: text -> array<struct<band_idx,band_key>>.
+
+    Replays the EXACT batch kernel (dedup.minhash_signature /
+    lsh_bands): shingle = lowercase ASCII-ws word n-grams (distinct),
+    mh_i = min over shingles of md5('<i>|<shingle>'), band_key =
+    md5(mh_{b*r} || '|' || ... || mh_{b*r+r-1}). Computed per row in
+    Python instead of explode+groupBy because a streaming map must stay
+    NARROW — and the native higher-order-lambda alternative re-evaluates
+    the shingle pipeline per (element x permutation) (CLAUDE.md lore).
+    Docs with fewer than ``shingle_n`` words produce no bands (the batch
+    explode drops them the same way).
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    def one(text) -> list:
+        if text is None:
+            return []
+        words = ws.split(text.strip().lower())
+        if len(words) < shingle_n:
+            return []
+        grams = list(dict.fromkeys(
+            " ".join(words[i : i + shingle_n])
+            for i in range(len(words) - shingle_n + 1)
+        ))
+        if not grams:
+            return []
+        mins = [
+            min(
+                hashlib.md5(f"{i}|{g}".encode()).hexdigest() for g in grams
+            )
+            for i in range(num_perm)
+        ]
+        out = []
+        for b in range(bands):
+            key = hashlib.md5(
+                "|".join(mins[b * rows_per_band : (b + 1) * rows_per_band]).encode()
+            ).hexdigest()
+            out.append({"band_idx": b, "band_key": key})
+        return out
+
+    def _bands(s):
+        return s.map(one)
+
+    # module-level `from __future__ import annotations` stringifies local
+    # hints ('pd.Series' is unresolvable at UDF-registration time), so the
+    # annotations are attached as live objects instead
+    _bands.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf("array<struct<band_idx: int, band_key: string>>")(_bands)
+    return udf(F.col(text_col))
+
+
+def stream_minhash_candidates(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+    num_perm: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: emit a candidate row for
+    every document that collides with an EARLIER document in any LSH band.
+
+    The batch operator (dedup.candidate_pairs) self-joins the band table;
+    a stream can't self-join its own past, so the band store becomes
+    STATE: band rows group by (band_idx, band_key) through
+    ``applyInPandasWithState`` — state holds only the bucket's first
+    (doc_id, event-time), constant bytes per distinct bucket, and expires
+    via event-time timeout once the watermark passes first_ts + the
+    watermark delay (the same bounded-state trade as
+    dropDuplicatesWithinWatermark: near-dups farther apart than the
+    watermark are both kept).
+
+    Output (append-mode): one row per colliding (doc, band) —
+    (doc_id, first_doc_id, band_idx, band_key). Distinct doc_ids in the
+    output are the near-dup CANDIDATES; docs absent are novel. Verify or
+    drop downstream (foreachBatch) exactly as the batch path verifies
+    band candidates with Jaccard — band collision alone over-flags, same
+    as batch candidate_pairs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).cast("string").alias("_doc_id"),
+            F.col(ts_col).alias("_ts"),
+            F.explode(
+                _minhash_band_rows(
+                    text_col, id_col, num_perm, shingle_n, bands, rows_per_band
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "_doc_id", "_ts",
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_key").alias("band_key"),
+        )
+    )
+
+    # watermark delay in ms for the state TTL (parse "N unit" forms)
+    qty, unit = watermark.strip().split(None, 1)
+    unit_ms = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.strip().lower()]
+    ttl_ms = int(qty) * unit_ms
+
+    def dedupe_bucket(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=["doc_id", "first_doc_id", "band_idx", "band_key"]
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["_ts", "_doc_id"], kind="mergesort")
+        if state.exists:
+            (first_id, first_ts_ms) = state.get
+        else:
+            first = rows.iloc[0]
+            first_id = first["_doc_id"]
+            first_ts_ms = int(first["_ts"].timestamp() * 1000)
+            state.update((first_id, first_ts_ms))
+            rows = rows.iloc[1:]
+        state.setTimeoutTimestamp(first_ts_ms + ttl_ms)
+        out = rows[rows["_doc_id"] != first_id]
+        yield pd.DataFrame(
+            {
+                "doc_id": out["_doc_id"],
+                "first_doc_id": first_id,
+                "band_idx": out["band_idx"],
+                "band_key": out["band_key"],
+            }
+        )
+
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        dedupe_bucket,
+        outputStructType=(
+            "doc_id string, first_doc_id string, band_idx int, band_key string"
+        ),
+        stateStructType="first_id string, first_ts_ms long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

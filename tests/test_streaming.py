@@ -110,3 +110,60 @@ def test_stream_decontaminate_is_stateless_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = [r["doc_id"] for r in spark.sql("select * from decon_sink").collect()]
     assert got == [2]
+
+
+def test_stream_minhash_candidates_flags_neardups(spark, tmp_path):
+    """Streaming LSH band store: later near-dups of an earlier doc emit
+    candidate rows; novel docs don't. Band keys replay the batch kernel
+    bit-for-bit."""
+    import pandas as pd  # noqa: F401
+
+    from open_thoughts_spark.operators import dedup
+    from open_thoughts_spark.streaming.pipeline import stream_minhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base + " again"          # shares most shingles -> band collision
+    other = "completely different content with no overlapping word grams at all whatsoever"
+    rows = [
+        (1, base, "2026-01-01 10:00:00"),
+        (2, near, "2026-01-01 10:05:00"),
+        (3, other, "2026-01-01 10:06:00"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(src / "*"))
+    cands = stream_minhash_candidates(
+        stream, "doc_id", "text", "ts", watermark="1 hour"
+    )
+    assert cands.isStreaming
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from mh_cands").collect()
+    flagged = {r["doc_id"] for r in got}
+    assert flagged == {"2"}
+    assert all(r["first_doc_id"] == "1" for r in got)
+
+    # band keys match the batch lsh_bands kernel exactly
+    batch_bands = dedup.lsh_bands(
+        dedup.minhash_signature(df, "doc_id", "text", num_perm=8, shingle_n=3),
+        "doc_id", bands=4, rows_per_band=2,
+    )
+    batch_keys = {
+        (str(r["doc_id"]), r["band_idx"], r["band_key"])
+        for r in batch_bands.collect()
+    }
+    for r in got:
+        assert (r["doc_id"], r["band_idx"], r["band_key"]) in batch_keys
