@@ -1832,14 +1832,18 @@ SQL_EMBEDDING_NEARDUP_LSH = """
 
 def q_embedding_neardup_banded(spark, sf_dir):
     """Embedding near-dup pairs via BANDED LSH candidates (OR over 3 bands
-    of 2 sign bits) — the recall fix for the single-exact-bucket blocking
-    (ADVICE r2: all-12-bits agreement ≈ 0.28 recall at cosine 0.95). At the
-    fixture's 0.4 threshold the banded OR finds ~4-5x the pairs of a single
-    6-bit bucket; the DuckDB oracle replays the identical plane signs, band
-    keys and pair set, so the gate value-checks the banding itself."""
+    of 4 sign bits) — the recall fix for the single-exact-bucket blocking
+    (ADVICE r2: all-bits agreement ≈ 0.28 recall at cosine 0.95; banded OR
+    at 3x4 bits ≈ 0.96). Round 4 widened the bands from 2 bits (4 buckets/
+    band — bucket occupancy N/4, candidate count quadratic in it; the
+    sf0.1 full-gate run spent 5.9 s mostly verifying N²/4-ish pairs) to 4
+    bits (16 buckets/band, 4x fewer candidates) — still non-vacuous at
+    the sf0.01 gate (~31 docs/bucket). The DuckDB oracle replays the
+    identical plane signs, band keys and pair set, so the gate
+    value-checks the banding itself."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_banded(
-        emb, "vec_id", "embedding", min_cosine=0.4, n_planes=6, bands=3,
+        emb, "vec_id", "embedding", min_cosine=0.4, n_planes=12, bands=3,
         min_parallelism=32,
     )
 
@@ -1854,12 +1858,12 @@ SQL_EMBEDDING_NEARDUP_BANDED = """
       select p, i,
         ('0x' || substr(md5(p::varchar || '|' || i::varchar), 1, 8))::bigint
           % 16 - 8 as wt
-      from range(6) t(p), range(64) d(i)
+      from range(12) t(p), range(64) d(i)
     ), proj as (
       select vec_id, p, sum(q[i + 1] * wt) as s from v, w group by 1, 2
     ), bands as (
-      select vec_id, p // 2 as band_idx,
-        cast(sum(case when s > 0 then 1::bigint << (p % 2) else 0 end)
+      select vec_id, p // 4 as band_idx,
+        cast(sum(case when s > 0 then 1::bigint << (p % 4) else 0 end)
              as bigint) as band_val
       from proj group by 1, 2
     ), cand as (

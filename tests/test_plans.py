@@ -243,3 +243,41 @@ def test_weighted_jaccard_uses_candidate_pushdown(spark):
     assert "CartesianProduct" not in plan
     # the _sh equality only appears joined together with an id key
     assert "id_a" in plan and "id_b" in plan
+
+
+def test_docs_spread_repartitions_single_file_scan(spark):
+    """Round-4 fix (VERDICT r3 #1): the heavy regex maps on the documents
+    table must not run in the 1-2 tasks of a single-file scan — the entry
+    queries spread through a round-robin exchange first."""
+    sdf = entrymod.q_text_stats(spark, SF)
+    plan = plan_of(sdf)
+    assert "RoundRobinPartitioning(32" in plan
+    sdf2 = entrymod.q_qf_docs_decisions(spark, SF)
+    assert "RoundRobinPartitioning(32" in plan_of(sdf2)
+
+
+def test_n_repeat_is_narrow_no_shuffle(spark):
+    """n_repeat duplication must stay a narrow explode — an Exchange here
+    would shuffle the whole corpus just to duplicate rows."""
+    from open_thoughts_spark.operators.maps import MAPS, apply_map
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text").alias("url")
+    )
+    plan = plan_of(apply_map(docs, MAPS["url_classify"], n_repeat=3))
+    assert "Exchange" not in plan
+    assert "explode" in plan
+
+
+def test_code_judge_map_is_single_pass(spark):
+    """The code judge is one mapInPandas over the (optionally spread)
+    input — no join, no aggregation, no second pass."""
+    from open_thoughts_spark.operators.code_judge import code_exec_judge
+
+    df = spark.createDataFrame(
+        [(1, "```python\nprint(1)\n```", '{"inputs": [""], "outputs": ["1"]}')],
+        "id int, response string, tests string",
+    )
+    plan = plan_of(code_exec_judge(df))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
