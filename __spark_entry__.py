@@ -1223,7 +1223,9 @@ def sql_minhash_dedup_kept():
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash32(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dedup.simhash32(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_parallelism=32
+    )
 
 
 def sql_simhash():
@@ -1247,8 +1249,11 @@ def sql_simhash():
 def q_ngram_jaccard(spark, sf_dir):
     """Blocked n-gram Jaccard near-dup pairs (within lang blocks)."""
     docs = _t(spark, sf_dir, "documents")
+    # r4 audit: the shingle map on an unspread scan ran 7-9 s at sf0.1;
+    # spread brings it to 1.3-2.2 s (same fix as the minhash family)
     pairs = dedup.jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.2, block_col="lang"
+        docs, "doc_id", "text", shingle_n=2, min_jaccard=0.2, block_col="lang",
+        min_parallelism=32,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
 
@@ -1359,7 +1364,10 @@ def sql_dedup_closure():
 
 def q_decontaminate(spark, sf_dir):
     """n-gram decontamination: ids sharing a 3-gram with the src0 'eval' set."""
-    docs = _t(spark, sf_dir, "documents")
+    # spread (r4 audit): the pool-side gram explode ran 3.3-5.2 s unspread
+    # at sf0.1, 1.2-1.5 s spread; combined_contaminated_ids below needs no
+    # spread (its minhash stages dominate and re-shuffle anyway)
+    docs = _docs_spread(spark, sf_dir)
     eval_df = docs.filter(F.col("source") == "src0")
     pool = docs.filter(F.col("source") != "src0")
     return decontaminate.contaminated_ids(pool, eval_df, "doc_id", "text", n=3)
@@ -1465,7 +1473,7 @@ def q_decontaminate_benchmarks(spark, sf_dir):
     # at 4-gram while the call-level default stays 3-gram — the reference's
     # 114k-vs-DCFT split (decontaminate.py:12 vs the DCFT yaml constants)
     register_benchmark(EvalBenchmark("fixture/srcB", ("text",), ngram_n=4))
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     pool = docs.filter(~F.col("source").isin("src0", "src1"))
     frames = {
         "fixture/srcA": docs.filter(F.col("source") == "src0").select("text"),

@@ -68,6 +68,12 @@ HEADLINE = [
     # fingerprint agg), exact weighted-Jaccard verify over band candidates
     "dedup_simhash64_bandblock",
     "dedup_weighted_jaccard",
+    # round-4 additions: subprocess-isolated code-execution judge (the
+    # throughput-relevant new operator), Gopher rule cascade, banded-LSH
+    # embedding near-dup (now 4-bit bands — the scale-sane config)
+    "code_exec_verify",
+    "gopher_quality_filter",
+    "embedding_neardup_banded",
 ]
 
 
