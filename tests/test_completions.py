@@ -403,3 +403,42 @@ def test_rate_limited_backend_paces_batches():
 
     with _p.raises(ValueError, match="qps"):
         RateLimitedBackend(mock_backend, qps=0)
+
+
+def test_rate_limiter_shared_across_tasks_per_worker():
+    """Per-executor scope simulation (round-4): two TASK deserializations
+    of the same limiter in one worker process share one bucket — the
+    second task gets no free burst; a separate worker process (its own
+    module state) starts with its own full burst, so cluster-wide QPS =
+    workers x qps, exactly as the docstring sizes it."""
+    import copy
+
+    import pandas as pd
+    import pytest
+
+    from open_thoughts_spark.operators import completions as C
+
+    sleeps: list[float] = []
+    t = [0.0]
+    limiter = C.RateLimitedBackend(
+        lambda s: s, qps=10.0, burst=10.0,
+        clock=lambda: t[0], sleep=sleeps.append, key="shared-test",
+    )
+    # Spark ships each task its own deserialized copy (cloudpickle);
+    # deepcopy simulates that fresh-copy-per-task behavior
+    task_a = copy.deepcopy(limiter)
+    task_b = copy.deepcopy(limiter)
+    C._WORKER_BUCKETS.pop("shared-test", None)
+    try:
+        task_a(pd.Series(["p"] * 10))      # drains the worker's burst
+        assert sleeps == []
+        task_b(pd.Series(["p"] * 10))      # same worker: must wait, no free burst
+        assert sleeps == [pytest.approx(1.0)]
+        # a DIFFERENT worker process = fresh module state: full burst again
+        saved = C._WORKER_BUCKETS.pop("shared-test")
+        task_c = copy.deepcopy(limiter)
+        task_c(pd.Series(["p"] * 10))
+        assert len(sleeps) == 1            # no extra sleep in the new worker
+        assert saved is not C._WORKER_BUCKETS.get("shared-test")
+    finally:
+        C._WORKER_BUCKETS.pop("shared-test", None)

@@ -44,6 +44,10 @@ TARGETED = [
     "run 10.0.0.1 10.0.0.2 10.0.0.3 10.0.0.4 done",
     "cards 4111-1111-1111-1111 5222-2222-2222-2222 x",
     "tel.555-123-4567 and x-555-987-6543",  # leading ./- excluded: leaks, same in all engines
+    # trunk-prefix NANP (ADVICE r3 fix): masks via the 1-XXX alternative;
+    # mid-run anchors still rejected
+    "call 1-555-123-4567 now", "1.555.123.4567", "ref 21-555-123-4567",
+    "adjacent 1-555-123-4567 1-555-987-6543 end",
     # ASCII-vs-Unicode word-boundary regressions (ADVICE r1): \w/\s/\b
     # must behave identically in Spark (Java), pandas (re.ASCII) and DuckDB
     "cannot hélp with that", "unable to cópe with your plan",
