@@ -2990,6 +2990,72 @@ SQL_TWO_PHASE_AGG = """
 """
 
 
+def q_html_main_content(spark, sf_dir):
+    """Main-content HTML extraction (resiliparse main_content=True stand-in,
+    WebInstruct/utils.py:32-50) value-oracled: each doc wraps into a page
+    with a known block structure (nav / heading / one <p> / footer), the
+    Spark side runs the REAL stdlib-HTMLParser extractor, and the oracle
+    replays the jusText-style classifier (length >= 80, stopword-density
+    thresholds 0.30/0.15, landmark drop, heading smoothing) in SQL on the
+    same blocks — the parse isn't SQL-expressible but the classification
+    and smoothing are, so verdicts and extracted text value-check.
+    Three fixture families: 40-char snippet (stopword branch varies per
+    doc), full text (length branch), stopword-free filler (always
+    boilerplate)."""
+    from open_thoughts_spark.functions.html_extract import with_main_content
+
+    docs = _docs_spread(spark, sf_dir)
+    m3 = F.col("doc_id") % 3
+    ptext = (
+        F.when(m3 == 0, F.substring(F.col("text"), 1, 40))
+        .when(m3 == 2, F.repeat(F.lit("zzz qqq www "), 5))
+        .otherwise(F.col("text"))
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href="/x">More</a>'
+              "</nav><h1>Doc Heading "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), ptext,
+        F.lit('</p><footer>Copyright <a href="/l">Legal</a></footer>'
+              "</body></html>"),
+    )
+    out = with_main_content(
+        docs.select("doc_id", html.alias("html")), "html", "main_text"
+    )
+    return out.select("doc_id", "main_text")
+
+
+_HTML_STOPLIST_SQL = (
+    "['the','a','an','and','or','of','to','in','is','it',"
+    "'that','for','on','with','as','was','at','by','be','this']"
+)
+
+SQL_HTML_MAIN_CONTENT = f"""
+    with p as (
+      select doc_id,
+        trim(regexp_replace(
+          case when doc_id % 3 = 0 then substr(text, 1, 40)
+               when doc_id % 3 = 2 then repeat('zzz qqq www ', 5)
+               else text end,
+          '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) as norm
+      from documents
+    ), scored as (
+      select doc_id, norm, length(norm) as n,
+        len(string_split(norm, ' ')) as n_words,
+        len(list_filter(string_split(norm, ' '),
+          w -> list_contains({_HTML_STOPLIST_SQL},
+                             lower(trim(w, '.,;:!?"''()'))))) as n_stop
+      from p
+    )
+    select doc_id,
+      case when n >= 80
+             or (n_words > 0 and n_stop::double / n_words::double >= 0.30)
+        then 'Doc Heading ' || doc_id::varchar || chr(10) || chr(10) || norm
+        else '' end as main_text
+    from scored
+"""
+
+
 def q_code_exec_verify(spark, sf_dir):
     """Sandboxed code-execution judge (open_thoughts/code/judge.py:73-172
     parity): generated code + JSON test cases -> subprocess-isolated
@@ -3144,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_two_phase_agg": q_two_phase_agg,
         "code_exec_verify": q_code_exec_verify,
         "map_url_classify_repeat": q_map_url_classify_repeat,
+        "html_main_content": q_html_main_content,
     }
 
 
@@ -3223,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_two_phase_agg": SQL_TWO_PHASE_AGG,
         "code_exec_verify": SQL_CODE_EXEC_VERIFY,
         "map_url_classify_repeat": SQL_MAP_URL_CLASSIFY_REPEAT,
+        "html_main_content": SQL_HTML_MAIN_CONTENT,
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
