@@ -158,12 +158,28 @@ def run_checkpointed(
     input_path: str,
     checkpoint_dir: str,
     langid_mode: str = "native",
+    use_catalog: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
-    """Resumable run: returns (final decisions DataFrame, stage audit events)."""
+    """Resumable run: returns (final decisions DataFrame, stage audit events).
+
+    ``use_catalog`` (default) commits stage boundaries through the
+    snapshot catalog under ``checkpoint_dir/catalog`` — the north rule's
+    'resumable from Iceberg snapshot checkpoint' contract: stage hash ->
+    snapshot id, resume = catalog time-travel read, rollback via
+    ``CheckpointedPipeline.rollback_to``. ``False`` keeps raw parquet
+    stage dirs (both manifest shapes read back transparently)."""
     from open_thoughts_spark.pipeline.checkpoint import CheckpointedPipeline
 
     df = read_transcripts(spark, input_path)
-    pipe = CheckpointedPipeline(spark, checkpoint_dir, checkpointed_stages(langid_mode))
+    catalog = table = None
+    if use_catalog:
+        from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+        catalog, table = SnapshotCatalog(f"{checkpoint_dir}/catalog"), "qf_stages"
+    pipe = CheckpointedPipeline(
+        spark, checkpoint_dir, checkpointed_stages(langid_mode),
+        catalog=catalog, table=table,
+    )
     out = pipe.run(df, input_fingerprint=input_path)
     return out, pipe.events
 

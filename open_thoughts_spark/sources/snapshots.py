@@ -64,11 +64,17 @@ class SnapshotCatalog:
             return json.load(f)
 
     def history(self, table: str) -> list[dict]:
-        """Manifest chain, newest first, from the current snapshot."""
+        """Manifest chain, newest first, from the current snapshot. A
+        missing parent manifest (crash-lost or expired outside the sweep)
+        ends the walk instead of raising — the same truncation Iceberg
+        shows after snapshot expiry."""
         out = []
         snap = self.current_snapshot(table)
         while snap:
-            m = self.manifest(table, snap)
+            try:
+                m = self.manifest(table, snap)
+            except FileNotFoundError:
+                break
             out.append(m)
             snap = m.get("parent")
         return out

@@ -54,7 +54,17 @@ def test_partial_resume_after_lost_final_stage(spark, transcripts_path, tmp_path
         manifest = json.load(f)
     final = [e for e in manifest["stages"].values() if e["stage"] == "finalize"]
     assert final
-    shutil.rmtree(final[0]["path"])
+    if "snapshot_id" in final[0]:
+        # catalog mode (the default): losing the snapshot = its catalog
+        # manifest gone
+        os.remove(
+            os.path.join(
+                ckpt, "catalog", "qf_stages", "manifests",
+                f"{final[0]['snapshot_id']}.json",
+            )
+        )
+    else:
+        shutil.rmtree(final[0]["path"])
 
     out2, ev2 = run_checkpointed(spark, transcripts_path, ckpt)
     actions = {e["stage"]: e["action"] for e in ev2}
