@@ -264,9 +264,11 @@ def run_scaling(n_convs: int, repeats: int = 2) -> dict:
 
 def main() -> int:
     queries, queries_warm, total = run_headline_queries()
-    # 3 interleaved pairs: the best-window estimator needs one clean weather
-    # window; with the observed ±40% host phases, 2 pairs miss it too often
-    scaling = run_scaling(BENCH_CONVS, repeats=3)
+    # 4 interleaved pairs: the best-window estimator needs one clean weather
+    # window; round-4 measured same-day pair spreads of 0.58-0.86 (and an
+    # hw ceiling of 0.51 in one window), so a 4th pair (~100 s) is cheap
+    # insurance against an all-dirty sample
+    scaling = run_scaling(BENCH_CONVS, repeats=4)
     out = {
         "metric": "headline query wall-clock at sf + quality-filter scaling N->4N",
         "value": total,
