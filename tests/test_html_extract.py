@@ -87,3 +87,41 @@ def test_spark_pandas_udf_path(spark):
     assert "main paragraph" in out[1]
     assert out[2] == ""
     assert out[3] == ""
+
+
+def test_classifier_sql_parity_fuzz():
+    """The html_main_content oracle replays the classifier in SQL; fuzz the
+    stopword/length branches with random word soups so threshold drift
+    between functions/html_extract.py and the entry-query SQL fails here,
+    not in the driver gate."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from open_thoughts_spark.functions.html_extract import extract_main_text
+
+    rng = random.Random(42)
+    vocab = ["the", "a", "of", "to", "zzz", "qqq", "data,", "row.", "scan!",
+             "agg", "(value)", "'part'", "batch", "is", "it", "была"]
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    con = duckdb.connect()
+    con.execute("create table documents(doc_id bigint, text varchar)")
+    con.executemany("insert into documents values (?, ?)", rows)
+    oracle = {
+        r[0]: r[1]
+        for r in con.sql(entrymod.oracle_sql()["html_main_content"]).fetchall()
+    }
+    for doc_id, text in rows:
+        m3 = doc_id % 3
+        ptext = (text[:40] if m3 == 0
+                 else "zzz qqq www " * 5 if m3 == 2 else text)
+        html = (
+            '<html><body><nav><a href="/">Home</a> <a href="/x">More</a></nav>'
+            f"<h1>Doc Heading {doc_id}</h1><p>{ptext}</p>"
+            '<footer>Copyright <a href="/l">Legal</a></footer></body></html>'
+        )
+        assert extract_main_text(html) == oracle[doc_id], (doc_id, ptext)
