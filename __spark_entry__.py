@@ -1466,13 +1466,19 @@ def q_decontaminate_benchmarks(spark, sf_dir):
     per-benchmark mask; output is the production metrics table
     (benchmark, contaminated_count)."""
     from open_thoughts_spark.operators.decontaminate import (
-        EvalBenchmark, register_benchmark,
+        EVAL_BENCHMARKS, EvalBenchmark,
     )
 
     # per-benchmark threshold override (VERDICT r3 #9): srcB decontaminates
     # at 4-gram while the call-level default stays 3-gram — the reference's
-    # 114k-vs-DCFT split (decontaminate.py:12 vs the DCFT yaml constants)
-    register_benchmark(EvalBenchmark("fixture/srcB", ("text",), ngram_n=4))
+    # 114k-vs-DCFT split (decontaminate.py:12 vs the DCFT yaml constants).
+    # Passed as a CALL-LEVEL registry override, not register_benchmark —
+    # mutating the module global leaked the entry into every later call in
+    # the process (code-review r4)
+    registry = {
+        **EVAL_BENCHMARKS,
+        "fixture/srcB": EvalBenchmark("fixture/srcB", ("text",), ngram_n=4),
+    }
     docs = _docs_spread(spark, sf_dir)
     pool = docs.filter(~F.col("source").isin("src0", "src1"))
     frames = {
@@ -1480,7 +1486,7 @@ def q_decontaminate_benchmarks(spark, sf_dir):
         "fixture/srcB": docs.filter(F.col("source") == "src1").select("text"),
     }
     return decontaminate.benchmark_contamination_report(
-        pool, frames, "doc_id", "text", n=3, mode="ngram"
+        pool, frames, "doc_id", "text", n=3, mode="ngram", registry=registry
     )
 
 
@@ -3011,6 +3017,12 @@ def q_html_main_content(spark, sf_dir):
         .when(m3 == 2, F.repeat(F.lit("zzz qqq www "), 5))
         .otherwise(F.col("text"))
     )
+    # sanitize to markup-inert printable ASCII so the fixture oracle holds
+    # BY CONSTRUCTION, not by accident of the current data: '<'/'&' would
+    # parse as tags/entities on the Spark side only, and non-ASCII
+    # whitespace splits in Python str.split but not the oracle's ASCII
+    # class (code-review r4)
+    ptext = F.regexp_replace(ptext, "[<>&]|[^ -~]", "")
     html = F.concat(
         F.lit('<html><body><nav><a href="/">Home</a> <a href="/x">More</a>'
               "</nav><h1>Doc Heading "),
@@ -3034,9 +3046,11 @@ SQL_HTML_MAIN_CONTENT = f"""
     with p as (
       select doc_id,
         trim(regexp_replace(
-          case when doc_id % 3 = 0 then substr(text, 1, 40)
-               when doc_id % 3 = 2 then repeat('zzz qqq www ', 5)
-               else text end,
+          regexp_replace(
+            case when doc_id % 3 = 0 then substr(text, 1, 40)
+                 when doc_id % 3 = 2 then repeat('zzz qqq www ', 5)
+                 else text end,
+            '[<>&]|[^ -~]', '', 'g'),
           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) as norm
       from documents
     ), scored as (
@@ -3063,11 +3077,13 @@ def q_code_exec_verify(spark, sf_dir):
     families derived from documents exercise every verdict path; the
     verdicts are integers/booleans the SQL oracle predicts exactly because
     the planted code is deterministic — the Spark side REALLY executes it.
-    doc_id % 10 < 2 keeps the subprocess count bench-sane (~1.2 spawns/doc
-    at ~45 ms each); coverage still scales with sf."""
+    doc_id % 25 < 5 keeps the subprocess count bench-sane (~1.2 spawns/doc
+    at ~45 ms each) while covering every doc_id % 5 residue — a % 10 < 2
+    decimation (code-review r4) silently confined m5 to {0,1} and left the
+    compile-error / no-code / call-based families unexecuted."""
     from open_thoughts_spark.operators.code_judge import code_exec_judge
 
-    docs = _docs_spread(spark, sf_dir).filter(F.col("doc_id") % 10 < 2)
+    docs = _docs_spread(spark, sf_dir).filter(F.col("doc_id") % 25 < 5)
     m5 = F.col("doc_id") % 5
     did = F.col("doc_id").cast("string")
     echo_code = F.lit(
@@ -3123,7 +3139,7 @@ SQL_CODE_EXEC_VERIFY = """
       case doc_id % 5 when 1 then 1 when 2 then 0 when 3 then 0
         when 4 then 1 else 2 end as n_passed,
       case doc_id % 5 when 3 then 0 when 4 then 1 else 2 end as n_tests
-    from documents where doc_id % 10 < 2
+    from documents where doc_id % 25 < 5
 """
 
 

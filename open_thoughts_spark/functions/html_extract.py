@@ -192,9 +192,7 @@ def main_content_expr(col: Column | str) -> Column:
     return _extract(F.col(col) if isinstance(col, str) else col)
 
 
-def with_main_content(
-    df, html_col: str = "html", out_col: str = "text"
-) -> "pd.DataFrame":
+def with_main_content(df, html_col: str = "html", out_col: str = "text"):
     """parse_html parity (WebInstruct/utils.py:32-50): extract main content
-    into ``out_col``."""
+    into ``out_col`` (Spark DataFrame -> Spark DataFrame)."""
     return df.withColumn(out_col, main_content_expr(html_col))

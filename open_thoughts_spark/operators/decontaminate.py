@@ -247,6 +247,7 @@ def benchmark_contaminated_ids(
     text_col: str,
     n: int = config.DECONTAMINATE_NGRAM_N,
     mode: str = "ngram",
+    registry: dict[str, EvalBenchmark] | None = None,
     **combined_kwargs,
 ) -> DataFrame:
     """(benchmark, id) — which pool rows are contaminated against which
@@ -254,12 +255,15 @@ def benchmark_contaminated_ids(
     ``mode='combined'`` ORs in the MinHash fuzzy channel
     (combined_contaminated_ids kwargs pass through). Each benchmark's eval
     set is normalized through its registry entry, so per-benchmark column
-    names bind correctly."""
+    names bind correctly. ``registry`` overrides the module-global
+    EVAL_BENCHMARKS for this call — hermetic per-call thresholds without
+    mutating process state (code-review r4)."""
     if not eval_frames:
         raise ValueError("eval_frames must name at least one benchmark")
+    reg = registry if registry is not None else EVAL_BENCHMARKS
     outs = []
     for name, frame in eval_frames.items():
-        bench = EVAL_BENCHMARKS.get(name) or EvalBenchmark(name, ("text",))
+        bench = reg.get(name) or EvalBenchmark(name, ("text",))
         ev = eval_texts(bench, frame)
         # registry thresholds beat the call-level defaults (VERDICT r3 #9)
         bench_n = bench.ngram_n if bench.ngram_n is not None else n
@@ -292,6 +296,7 @@ def benchmark_contamination_report(
     text_col: str,
     n: int = config.DECONTAMINATE_NGRAM_N,
     mode: str = "ngram",
+    registry: dict[str, EvalBenchmark] | None = None,
     **combined_kwargs,
 ) -> DataFrame:
     """Per-benchmark hit counts (benchmark, contaminated_count) — the
@@ -300,7 +305,8 @@ def benchmark_contamination_report(
     must appear in the metrics, and the DuckDB oracle always emits one
     row per benchmark)."""
     ids = benchmark_contaminated_ids(
-        pool, eval_frames, id_col, text_col, n=n, mode=mode, **combined_kwargs
+        pool, eval_frames, id_col, text_col, n=n, mode=mode,
+        registry=registry, **combined_kwargs,
     )
     spark = pool.sparkSession
     names = spark.createDataFrame(

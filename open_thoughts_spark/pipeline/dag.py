@@ -89,7 +89,9 @@ CONFIG_SPECS: dict[str, ConfigSpec] = {
         {"map": str}, {"n_repeat": int, "merge_shards": int}
     ),
     "scrub": ConfigSpec({}, {"text_col": str}),
-    "add_constant": ConfigSpec({"column": str}, {"value": object}),
+    # 'value' is required-but-any-typed (None is a legal constant; absence
+    # was a run-time KeyError — code-review r4)
+    "add_constant": ConfigSpec({"column": str, "value": object}),
     "load_preexisting": ConfigSpec({"framework_name": str}),
 }
 

@@ -179,7 +179,6 @@ def stream_decontaminate(
 
 def _minhash_band_rows(
     text_col: str,
-    id_col: str,
     num_perm: int,
     shingle_n: int,
     bands: int,
@@ -207,7 +206,12 @@ def _minhash_band_rows(
     def one(text) -> list:
         if text is None:
             return []
-        words = ws.split(text.strip().lower())
+        # EXACT words_expr replication (code-review r4): F.trim strips
+        # only ASCII spaces (not \n/\t) and F.split keeps boundary empty
+        # tokens (Java limit -1) — Python .strip()/.split() would drop
+        # Unicode whitespace and empties and desync the band keys, so
+        # strip ' ' only and re.split (which also keeps boundary empties)
+        words = ws.split(text.lower().strip(" "))
         if len(words) < shingle_n:
             return []
         grams = list(dict.fromkeys(
@@ -278,15 +282,22 @@ def stream_minhash_candidates(
         stream_df.withWatermark(ts_col, watermark)
         .select(
             F.col(id_col).cast("string").alias("_doc_id"),
-            F.col(ts_col).alias("_ts"),
+            # the watermarked timestamp column must SURVIVE into the
+            # stateful operator (event-time timeout refuses otherwise) …
+            F.col(ts_col).alias("_wm_ts"),
+            # … but the TTL math uses a JVM-side epoch (unix_millis is
+            # TZ-correct): Arrow hands applyInPandasWithState tz-NAIVE
+            # timestamps rendered in the session TZ, so .timestamp() in
+            # the UDF would shift the TTL by the TZ offset (code-review r4)
+            F.unix_millis(F.col(ts_col)).alias("_ts_ms"),
             F.explode(
                 _minhash_band_rows(
-                    text_col, id_col, num_perm, shingle_n, bands, rows_per_band
+                    text_col, num_perm, shingle_n, bands, rows_per_band
                 )
             ).alias("_b"),
         )
         .select(
-            "_doc_id", "_ts",
+            "_doc_id", "_wm_ts", "_ts_ms",
             F.col("_b.band_idx").alias("band_idx"),
             F.col("_b.band_key").alias("band_key"),
         )
@@ -313,13 +324,13 @@ def stream_minhash_candidates(
             )
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["_ts", "_doc_id"], kind="mergesort")
+        rows = rows.sort_values(["_ts_ms", "_doc_id"], kind="mergesort")
         if state.exists:
             (first_id, first_ts_ms) = state.get
         else:
             first = rows.iloc[0]
             first_id = first["_doc_id"]
-            first_ts_ms = int(first["_ts"].timestamp() * 1000)
+            first_ts_ms = int(first["_ts_ms"])
             state.update((first_id, first_ts_ms))
             rows = rows.iloc[1:]
         state.setTimeoutTimestamp(first_ts_ms + ttl_ms)

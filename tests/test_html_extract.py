@@ -103,7 +103,8 @@ def test_classifier_sql_parity_fuzz():
 
     rng = random.Random(42)
     vocab = ["the", "a", "of", "to", "zzz", "qqq", "data,", "row.", "scan!",
-             "agg", "(value)", "'part'", "batch", "is", "it", "была"]
+             "agg", "(value)", "'part'", "batch", "is", "it", "была",
+             "<b>tag&entity</b>", "nb\u00a0sp"]
     rows = []
     for i in range(120):
         n = rng.randint(1, 30)
@@ -115,10 +116,14 @@ def test_classifier_sql_parity_fuzz():
         r[0]: r[1]
         for r in con.sql(entrymod.oracle_sql()["html_main_content"]).fetchall()
     }
+    import re as _re
+
     for doc_id, text in rows:
         m3 = doc_id % 3
         ptext = (text[:40] if m3 == 0
                  else "zzz qqq www " * 5 if m3 == 2 else text)
+        # same markup-inert sanitize the entry query applies in both engines
+        ptext = _re.sub(r"[<>&]|[^ -~]", "", ptext)
         html = (
             '<html><body><nav><a href="/">Home</a> <a href="/x">More</a></nav>'
             f"<h1>Doc Heading {doc_id}</h1><p>{ptext}</p>"

@@ -167,3 +167,37 @@ def test_stream_minhash_candidates_flags_neardups(spark, tmp_path):
     }
     for r in got:
         assert (r["doc_id"], r["band_idx"], r["band_key"]) in batch_keys
+
+
+def test_stream_band_keys_match_batch_on_messy_whitespace(spark):
+    """Band-key parity with the batch kernel on whitespace-hostile text:
+    F.trim strips only spaces and F.split keeps boundary empty tokens, so
+    the streaming UDF must replicate both (code-review r4 caught a Python
+    .strip()/.split() desync on leading tabs / trailing newlines)."""
+    from open_thoughts_spark.operators import dedup
+    from open_thoughts_spark.streaming.pipeline import _minhash_band_rows
+
+    texts = [
+        "\tthe quick brown fox jumps \t over the lazy dog today\n",
+        "plain single spaced words here for the baseline case",
+        "  leading spaces get trimmed  ",
+        "UPPER Case Mixed\nnewline separated words in the text",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    stream_keys = {
+        (str(r["doc_id"]), r["b"]["band_idx"], r["b"]["band_key"])
+        for r in df.select(
+            "doc_id",
+            F.explode(_minhash_band_rows("text", 8, 3, 4, 2)).alias("b"),
+        ).collect()
+    }
+    batch_keys = {
+        (str(r["doc_id"]), r["band_idx"], r["band_key"])
+        for r in dedup.lsh_bands(
+            dedup.minhash_signature(df, "doc_id", "text", num_perm=8, shingle_n=3),
+            "doc_id", bands=4, rows_per_band=2,
+        ).collect()
+    }
+    assert stream_keys == batch_keys
