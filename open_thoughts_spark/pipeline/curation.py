@@ -214,3 +214,45 @@ def curate_puzzle(
     return curate_domain(
         ds, cfg, eval_sets=eval_sets, annotate=annotate, backend=backend
     )
+
+
+def curate_code(
+    df: DataFrame,
+    id_col: str,
+    response_col: str = "response",
+    tests_col: str = "tests",
+    description_col: str = "description",
+    solutions_col: str = "solutions",
+    eval_sets: list[DataFrame] | None = None,
+    judge_timeout_s: float = 4.0,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Code-domain curation end to end (open_thoughts/code/ chain):
+    problem/tests/solutions heuristics (filters.py:4-48 -> rules.math_rules
+    with_code_decision), fuzzy dedup + decontamination on the problem
+    description (the shared domain tail), then REJECTION SAMPLING through
+    the sandboxed execution judge (judge.py:766-805 code_judge -> keep
+    only rows whose generated code passes every parsed test case).
+
+    The judge runs last on purpose: it is the expensive per-row subprocess
+    stage, so the cheap heuristic/dedup stages shrink its input first —
+    same economics as the reference running curator filters before the
+    multiprocessing judge pool."""
+    from open_thoughts_spark.operators.code_judge import filter_correct_code
+    from open_thoughts_spark.rules.math_rules import with_code_decision
+
+    out = with_code_decision(
+        df, description_col=description_col, tests_col=tests_col,
+        solutions_col=solutions_col,
+    ).filter(F.col("keep_code")).drop("code_drop_reason", "keep_code")
+    out = minhash_dedup(out, id_col, description_col, min_jaccard=0.8)
+    for ev in eval_sets or []:
+        out = ngram_decontaminate(
+            out, ev, description_col,
+            eval_text_col="text" if "text" in ev.columns else None,
+            n=13, id_col=id_col,
+        )
+    return filter_correct_code(
+        out, response_col=response_col, tests_col=tests_col,
+        timeout_s=judge_timeout_s, min_parallelism=min_parallelism,
+    )

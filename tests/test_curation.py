@@ -153,3 +153,47 @@ def test_curate_puzzle_chain(spark):
     assert {r["source"] for r in got} == {"riddle_sense"}
     assert all("\nA: " in r["question"] for r in got)
     assert all(r["reasoning"].startswith("[mock:") for r in got)
+
+
+def test_curate_code_end_to_end(spark):
+    """Heuristic filter -> dedup -> decontaminate -> sandboxed execution
+    judge, composed (open_thoughts/code/ chain). Rows survive only by
+    passing EVERY stage — including actually executing their code."""
+    import json
+
+    from open_thoughts_spark.pipeline.curation import curate_code
+
+    good_desc = (
+        "Write a program that doubles an integer read from stdin. " * 5
+    )
+    eval_desc = (
+        "This exact problem statement appears in the eval benchmark set "
+        "and must therefore be decontaminated away from the pool. " * 4
+    )
+    ok_code = "```python\nimport sys\nprint(int(sys.stdin.read()) * 2)\n```"
+    bad_code = "```python\nimport sys\nprint(int(sys.stdin.read()) * 3)\n```"
+    t = json.dumps({"inputs": ["21"], "outputs": ["42"]})
+    rows = [
+        # survives everything
+        (1, good_desc, t, '["s"]', ok_code),
+        # near-duplicate description of 1 -> minhash dedup keeps min id
+        (2, good_desc + " again", t, '["s"]', ok_code),
+        # fails the heuristic cascade (short description)
+        (3, "too short", t, '["s"]', ok_code),
+        # decontaminated (shares 13-grams with the eval set)
+        (4, eval_desc, t, '["s"]', ok_code),
+        # passes heuristics but the code is WRONG -> judge rejects
+        (5, "Another long and different description about summing numbers "
+            "carefully written to pass all the heuristic length checks. " * 3,
+         t, '["s"]', bad_code),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pid long, description string, tests string, solutions string,"
+        " response string",
+    )
+    ev = spark.createDataFrame([(eval_desc,)], "text string")
+    kept = curate_code(
+        df, "pid", eval_sets=[ev], judge_timeout_s=5.0
+    ).select("pid").collect()
+    assert [r["pid"] for r in kept] == [1]
