@@ -2996,6 +2996,58 @@ SQL_TWO_PHASE_AGG = """
 """
 
 
+def q_verify_mix(spark, sf_dir):
+    """verify_and_mix fan-in chain (mix.py:15-40): per-domain judge ->
+    filter correct -> instruction/response -> ShareGPT -> union, oracled.
+    The deterministic normalized-equality judge (MOCK_VERIFY posture,
+    math/judge.py:46-49) makes correctness SQL-predictable: answers match
+    truth except doc_id % 3 == 1 rows (planted wrong). The nested ShareGPT
+    output is flattened to hashable columns (turn count + first human/gpt
+    values) so the driver's value hash is struct-free."""
+    from open_thoughts_spark.pipeline.curation import verify_and_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    instruction = F.concat(F.lit("solve task "), F.col("doc_id").cast("string"))
+    response = F.concat(F.lit("Answer-"), (F.col("doc_id") % 50).cast("string"))
+    truth = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("planted-wrong"))
+        # judge normalizes case/whitespace: ' answer-N ' still verifies
+        .otherwise(F.concat(F.lit(" answer-"), (F.col("doc_id") % 50).cast("string"), F.lit(" ")))
+    )
+    base = docs.select(
+        "doc_id",
+        instruction.alias("instruction"),
+        response.alias("response"),
+        truth.alias("truth"),
+    )
+    domains = {
+        "alpha": base.filter(F.col("doc_id") % 2 == 0),
+        "beta": base.filter(F.col("doc_id") % 2 == 1),
+    }
+    out = verify_and_mix(
+        domains, "response", "truth", "instruction", "response", "doc_id"
+    )["verified"]
+    return out.select(
+        "domain",
+        "doc_id",
+        F.size("conversations").cast("long").alias("n_turns"),
+        F.element_at("conversations", 1)["value"].alias("human_msg"),
+        F.element_at("conversations", 2)["value"].alias("gpt_msg"),
+    )
+
+
+SQL_VERIFY_MIX = """
+    select
+      case when doc_id % 2 = 0 then 'alpha' else 'beta' end as domain,
+      doc_id,
+      2::bigint as n_turns,
+      'solve task ' || doc_id::varchar as human_msg,
+      'Answer-' || (doc_id % 50)::varchar as gpt_msg
+    from documents
+    where doc_id % 3 != 1
+"""
+
+
 def q_html_main_content(spark, sf_dir):
     """Main-content HTML extraction (resiliparse main_content=True stand-in,
     WebInstruct/utils.py:32-50) value-oracled: each doc wraps into a page
@@ -3227,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_exec_verify": q_code_exec_verify,
         "map_url_classify_repeat": q_map_url_classify_repeat,
         "html_main_content": q_html_main_content,
+        "verify_mix_sharegpt": q_verify_mix,
     }
 
 
@@ -3307,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
         "code_exec_verify": SQL_CODE_EXEC_VERIFY,
         "map_url_classify_repeat": SQL_MAP_URL_CLASSIFY_REPEAT,
         "html_main_content": SQL_HTML_MAIN_CONTENT,
+        "verify_mix_sharegpt": SQL_VERIFY_MIX,
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
