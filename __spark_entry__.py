@@ -2911,10 +2911,13 @@ SQL_CUSTOMERS_EXCEPT = """
 
 
 def q_levenshtein_pairs(spark, sf_dir):
-    """Blocked edit-distance fuzzy pairs (the fuzzy-dedup verify channel)."""
+    """Blocked edit-distance fuzzy pairs (the fuzzy-dedup verify channel).
+    min_parallelism spreads the pair rows before the O(len^2) DP — the
+    lang-block join otherwise leaves ~5 skewed tasks doing 20+ min of
+    serial levenshtein at sf0.1 (r4 audit)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.levenshtein_pairs(
-        docs, "doc_id", "text", "lang", min_ratio=60.0
+        docs, "doc_id", "text", "lang", min_ratio=60.0, min_parallelism=32
     )
 
 

@@ -354,6 +354,7 @@ def levenshtein_pairs(
     block_col: str,
     min_ratio: float = 95.0,
     max_len_diff_frac: float = 0.2,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Edit-distance fuzzy pairs within blocks — the exact-verification
     channel for fuzzy dedup (open_thoughts/deduplicate.py:17-55 uses
@@ -382,6 +383,18 @@ def levenshtein_pairs(
             F.abs(la - lb) <= F.greatest(la, lb) * max_len_diff_frac
         )
     )
+    if min_parallelism:
+        # the join's output stays partitioned BY BLOCK KEY — with few
+        # blocks the quadratic levenshtein grinds on a handful of skewed
+        # tasks (measured: one core for 20+ min at sf0.1). Round-robin the
+        # PAIRS before the O(len^2) projection: the pair-row shuffle is
+        # linear in candidate count, the DP it parallelizes is not.
+        # The lazy localCheckpoint is REQUIRED, not an optimization:
+        # Catalyst pushes the ratio filter (and its levenshtein expr)
+        # straight through a bare Repartition back into the skewed join
+        # stage (measured: >500 s vs 50 s at sf0.1); the checkpointed RDD
+        # scan is a pushdown barrier, so the DP really runs post-exchange.
+        joined = joined.repartition(min_parallelism).localCheckpoint(eager=False)
     ratio = (F.lit(1.0) - F.levenshtein("_ta", "_tb") / F.greatest(la, lb)) * 100
     return (
         joined.withColumn("ratio", F.round(ratio, 4))
