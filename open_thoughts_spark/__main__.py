@@ -36,7 +36,16 @@ def main(argv: list[str] | None = None) -> int:
         help="enable resumable execution: stage snapshots + manifest live here; "
         "rerunning with the same dir resumes from the last durable stage",
     )
+    p.add_argument(
+        "--rollback-to",
+        metavar="STAGE",
+        help="with --checkpoint-dir: repoint the snapshot catalog at STAGE's "
+        "committed snapshot and invalidate downstream stages BEFORE running "
+        "— the run then resumes at STAGE and recomputes only the suffix",
+    )
     args = p.parse_args(argv)
+    if args.rollback_to and not args.checkpoint_dir:
+        p.error("--rollback-to requires --checkpoint-dir")
 
     from open_thoughts_spark.session import get_spark
     from open_thoughts_spark.pipeline import run_pipeline
@@ -58,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         decided, events = run_checkpointed(
-            spark, args.input, args.checkpoint_dir, langid_mode=args.langid_mode
+            spark, args.input, args.checkpoint_dir, langid_mode=args.langid_mode,
+            rollback_to=args.rollback_to,
         )
         resumed = [e for e in events if e["action"] == "resumed"]
         result = {

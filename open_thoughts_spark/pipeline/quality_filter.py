@@ -159,6 +159,7 @@ def run_checkpointed(
     checkpoint_dir: str,
     langid_mode: str = "native",
     use_catalog: bool = True,
+    rollback_to: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Resumable run: returns (final decisions DataFrame, stage audit events).
 
@@ -166,8 +167,13 @@ def run_checkpointed(
     snapshot catalog under ``checkpoint_dir/catalog`` — the north rule's
     'resumable from Iceberg snapshot checkpoint' contract: stage hash ->
     snapshot id, resume = catalog time-travel read, rollback via
-    ``CheckpointedPipeline.rollback_to``. ``False`` keeps raw parquet
-    stage dirs (both manifest shapes read back transparently)."""
+    ``rollback_to``/``CheckpointedPipeline.rollback_to``. ``False`` keeps
+    raw parquet stage dirs (both manifest shapes read back transparently).
+
+    ``rollback_to`` (catalog mode only): before running, repoint the
+    catalog at the named stage's snapshot and invalidate downstream stage
+    hashes — the run then resumes at that stage and recomputes the
+    suffix."""
     from open_thoughts_spark.pipeline.checkpoint import CheckpointedPipeline
 
     df = read_transcripts(spark, input_path)
@@ -180,6 +186,8 @@ def run_checkpointed(
         spark, checkpoint_dir, checkpointed_stages(langid_mode),
         catalog=catalog, table=table,
     )
+    if rollback_to:
+        pipe.rollback_to(rollback_to, input_fingerprint=input_path)
     out = pipe.run(df, input_fingerprint=input_path)
     return out, pipe.events
 

@@ -279,3 +279,29 @@ def test_catalog_checkpoint_requires_table_and_snapshot(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         nocat.rollback_to("s", "fp")
+
+
+def test_run_checkpointed_rollback_param(spark, transcripts_path, tmp_path):
+    """CLI-surface rollback: run, roll back to 'decide', re-run — earlier
+    stages resume from catalog snapshots, the suffix recomputes, output
+    identical."""
+    ckpt = str(tmp_path / "ckrb")
+    out1, ev1 = run_checkpointed(spark, transcripts_path, ckpt)
+    r1 = _rows(out1)
+    assert all(e["action"] == "computed" for e in ev1)
+    out2, ev2 = run_checkpointed(
+        spark, transcripts_path, ckpt, rollback_to="decide"
+    )
+    actions = {e["stage"]: e["action"] for e in ev2}
+    assert actions["decide"] == "resumed"
+    assert actions["finalize"] == "computed"
+    assert _rows(out2) == r1
+
+
+def test_cli_rollback_requires_checkpoint_dir():
+    import pytest
+
+    from open_thoughts_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "/nonexistent", "--rollback-to", "decide"])
