@@ -2227,10 +2227,13 @@ def q_simhash64_bandblock(spark, sf_dir):
 
 
 def sql_simhash64():
-    def half_sums(expr, prefix):
+    """Replays dedup.simhash64's r4 kernel: one 32-bit chunk per word per
+    half (('0x'||substr(md5,1,8))::bigint — the conv(substr,16,10) twin),
+    bits by shift-and-mask, ±1 sums, sign -> packed bigint halves."""
+
+    def half_sums(chunk, prefix):
         return ",\n      ".join(
-            f"sum(case when ascii(substr({expr}, {j + 1}, 1)) % 2 = 1"
-            f" then 1 else -1 end) as {prefix}{j}"
+            f"sum((({chunk} >> {j}) & 1) * 2 - 1) as {prefix}{j}"
             for j in range(32)
         )
 
@@ -2244,11 +2247,16 @@ def sql_simhash64():
         with w as (
           select doc_id, unnest({WORDS_SQL}) as w
           from documents
-        ), f as (select doc_id, w from w where w != ''),
+        ), f as (
+          select doc_id,
+            ('0x' || substr(md5(w), 1, 8))::bigint as c0,
+            ('0x' || substr(md5(w || '#'), 1, 8))::bigint as c1
+          from w where w != ''
+        ),
         s as (
           select doc_id,
-            {half_sums("md5(w)", "l")},
-            {half_sums("md5(w || '#')", "h")}
+            {half_sums("c0", "l")},
+            {half_sums("c1", "h")}
           from f group by doc_id
         )
         select doc_id, {pack("h")} as simhash_hi, {pack("l")} as simhash_lo

@@ -509,13 +509,20 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash as two portable 32-bit halves (VERDICT r2 scale fix).
 
-    Same md5-parity construction as :func:`simhash32` — bit j of a word's
-    contribution = parity of the ASCII code of hex char j of an md5 — but the
-    upper 32 bits come from an INDEPENDENT hash ``md5(word || '#')``, so the
-    two halves are uncorrelated and the fingerprint is a true 64-bit simhash.
-    Each half packs into a non-negative bigint (no 2^63 sign-bit issues in
-    Spark longs or DuckDB BIGINTs). One explode + one groupBy with 64
-    conditional-sum aggregates — still a single shuffle.
+    Bit source (round 4): each half's 32 bits are the first 8 hex chars of
+    an md5 decoded to ONE 32-bit integer per word (``conv(substr(md5,1,8),
+    16, 10)`` / DuckDB ``('0x'||substr(md5,1,8))::bigint`` — the same
+    idiom the ANN oracles use), with bit j extracted by shift-and-mask.
+    That's 2 string ops per word instead of the previous 64 per-hex-char
+    ``ascii(substr)%2`` extractions. Measured Spark-side effect at sf0.1:
+    neutral (the packed agg + shuffle dominate, not the extractions); the
+    real beneficiaries are the DuckDB oracle (64 integer bit-ops replace
+    64 substr calls per word) and expression-tree size.
+    The upper half comes from an INDEPENDENT hash ``md5(word || '#')``, so
+    the halves are uncorrelated and the fingerprint is a true 64-bit
+    simhash. Each half packs into a non-negative bigint (no 2^63 sign-bit
+    issues in Spark longs or DuckDB BIGINTs). One explode + one groupBy —
+    still a single shuffle.
 
     Why 64 and not 32: band blocking splits the fingerprint into
     ``bands > max_hamming`` pieces; with 32 bits and 4 bands each band key is
@@ -532,8 +539,15 @@ def simhash64(
     w = df.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
-    w = w.withColumn("_h0", F.md5(F.col("_w"))).withColumn(
-        "_h1", F.md5(F.concat(F.col("_w"), F.lit("#")))
+    # one 32-bit chunk per word per half; all 32 bit extractions below are
+    # long shift/mask ops on these two columns
+    w = w.withColumn(
+        "_c0", F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "_c1",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("_w"), F.lit("#"))), 1, 8), 16, 10
+        ).cast("long"),
     )
 
     # Aggregate PACKED lanes, not 64 separate ±1 sums: two 32-bit ones-
@@ -544,10 +558,10 @@ def simhash64(
     # positional sign is recovered as 2*ones - n_words > 0. Lane capacity
     # 2^32 words/doc before overflow.
     def _bit(src: str, j: int) -> Column:
-        return (F.ascii(F.substring(F.col(src), j + 1, 1)) % 2).cast("long")
+        return F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
 
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for src, half in (("_h0", "lo"), ("_h1", "hi")):
+    for src, half in (("_c0", "lo"), ("_c1", "hi")):
         for i in range(16):
             packed = _bit(src, 2 * i) + F.shiftleft(_bit(src, 2 * i + 1), 32)
             aggs.append(F.sum(packed).alias(f"_{half}p{i}"))
