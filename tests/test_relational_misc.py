@@ -159,3 +159,16 @@ def test_range_join_inverted_interval_yields_nothing(spark):
         "k long, s string, e string, wid string",
     ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
     assert range_join(points, bad, ["k"], "ts", "s", "e").count() == 0
+
+
+def test_bench_headline_keys_exist():
+    """Every bench.py headline query must exist in the entry registry —
+    a rename otherwise breaks only at driver bench time."""
+    import bench
+
+    import __spark_entry__ as entrymod
+
+    missing = set(bench.HEADLINE) - set(entrymod.queries())
+    assert not missing, missing
+    # and the driver contract: every query has an oracle
+    assert sorted(entrymod.queries()) == sorted(entrymod.oracle_sql())
