@@ -122,3 +122,49 @@ def test_code_exec_judge_spark(spark):
     assert [(r["n_passed"], r["n_tests"]) for r in out] == [(1, 1), (0, 0), (0, 1)]
     kept = filter_correct_code(df, timeout_s=5).collect()
     assert [r["id"] for r in kept] == [0]
+
+
+def test_compare_ladder_reference_rung_cases():
+    """Edge shapes hand-derived from the reference ladder
+    (judge.py:484-617): list-valued ground truth joined by newline, the
+    strip-per-line rung, whitespace-token sets per line, and float
+    tolerance interaction with token counts. Documents exactly which
+    rungs the deterministic subset keeps."""
+    # list expected -> newline-joined (rung 1 pre-normalization)
+    assert compare_std_outputs("1\n2\n", ["1", "2"])
+    assert compare_std_outputs("  1  \n  2  \n", ["1", "2"])
+    # int-vs-float textual mismatch still passes via float rung
+    assert compare_std_outputs("1.0\n2.0\n", ["1", "2"])
+    # token-count mismatch fails the float rung, line rung, set rung
+    assert not compare_std_outputs("1 2 3\n", "1 2")
+    # per-line unordered tokens pass, cross-line moves fail
+    assert compare_std_outputs("b a\nd c\n", "a b\nc d")
+    assert not compare_std_outputs("c a\nd b\n", "a b\nc d")
+    # empty output only matches empty/whitespace expectation
+    assert compare_std_outputs("", "")
+    assert compare_std_outputs("\n", "  ")
+    assert not compare_std_outputs("", "x")
+    # exponent notation matches through float parsing
+    assert compare_std_outputs("1e3\n", "1000")
+    # nan never satisfies tolerance (isclose(nan, nan) is False)
+    assert not compare_std_outputs("nan\n", "nan2x")
+
+
+def test_judge_multi_solution_last_block_wins():
+    # judge.py:753 uses code_blocks[-1]: an earlier broken block must not
+    # poison a later correct one
+    resp = (
+        "first try:\n```python\ndef broken(:\n```\n"
+        "fixed:\n```python\nimport sys\nprint(int(sys.stdin.read()) * 2)\n```"
+    )
+    assert judge_one(resp, T_OK, timeout_s=5) == (True, "", 1, 1)
+
+
+def test_judge_stdin_list_inputs_joined():
+    # judge.py:421-424: list-shaped inputs join with newlines before stdin
+    code = (
+        "```python\nimport sys\nlines = sys.stdin.read().split()\n"
+        "print(int(lines[0]) + int(lines[1]))\n```"
+    )
+    t = json.dumps({"inputs": [["20", "22"]], "outputs": ["42"]})
+    assert judge_one(code, t, timeout_s=5) == (True, "", 1, 1)
