@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_thoughts_spark.spread import spread
+
 from open_thoughts_spark.functions.portable_hash import ascii_tokens, md5_bucket
 
 
@@ -173,10 +175,9 @@ def classifier_filter(
       no driver collect);
     - else: ``score > filter_threshold``.
     """
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        # single-file inputs scan as ONE task; spread the Python-side
-        # scoring UDF across executors first
-        df = df.repartition(min_parallelism)
+    # single-file inputs scan as ONE task; spread the Python-side
+    # scoring UDF across executors first
+    df = spread(df, min_parallelism)
     scored = df.withColumn(
         score_col, classifier_score_udf(spark, model, target_label)(F.col(text_col))
     )

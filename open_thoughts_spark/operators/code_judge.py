@@ -30,6 +30,7 @@ themselves).
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -41,6 +42,8 @@ import tempfile
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from open_thoughts_spark.spread import spread
 
 # judge.py:720-730 has_code — last fenced block is the solution
 _CODE_BLOCK_RE = re.compile(r"```(?:[a-zA-Z]*)\n(.*?)```", re.DOTALL)
@@ -94,11 +97,14 @@ def parse_tests(raw) -> dict | None:
     return tests
 
 
-def _set_limits() -> None:  # pragma: no cover - runs in the child
+def _set_limits(timeout_s: float = DEFAULT_TIMEOUT_S) -> None:  # pragma: no cover - runs in the child
     import resource
 
     resource.setrlimit(resource.RLIMIT_AS, (_MEM_LIMIT_BYTES, _MEM_LIMIT_BYTES))
-    cpu = int(DEFAULT_TIMEOUT_S) + 1
+    # CPU cap tracks the requested wall timeout (ADVICE r5: a fixed
+    # DEFAULT-based cap SIGKILLed CPU-bound-but-correct solutions when the
+    # caller passed timeout_s > default)
+    cpu = int(math.ceil(timeout_s)) + 1
     resource.setrlimit(resource.RLIMIT_CPU, (cpu, cpu))
 
 
@@ -120,7 +126,7 @@ def _run_subprocess(
             capture_output=True,
             timeout=timeout_s,
             cwd=workdir,
-            preexec_fn=_set_limits,
+            preexec_fn=functools.partial(_set_limits, timeout_s),
         )
     except subprocess.TimeoutExpired:
         return -1, ""
@@ -309,8 +315,7 @@ def code_exec_judge(
     ``min_parallelism`` spreads single-file scans (CLAUDE.md perf lore)
     so the subprocess work isn't serialized onto 1-2 tasks.
     """
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism)
+    df = spread(df, min_parallelism)
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [

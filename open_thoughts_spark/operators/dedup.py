@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from open_thoughts_spark.spread import spread
+
 from open_thoughts_spark import config
 
 
@@ -78,8 +80,7 @@ def minhash_signature(
     ``min_parallelism`` pre-spreads a low-partition input (single local
     file) so the expensive shingle-md5 map runs across tasks.
     """
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism, F.col(id_col))
+    df = spread(df, min_parallelism, F.col(id_col))
     exploded = df.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("_sh")
     )
@@ -154,8 +155,7 @@ def jaccard_pairs(
     ``min_parallelism`` so each recompute at least runs wide on
     single-file inputs.
     """
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism, F.col(id_col))
+    df = spread(df, min_parallelism, F.col(id_col))
     sh = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -419,10 +419,9 @@ def simhash32(
     bit. Near-duplicates land at small Hamming distance. One explode + one
     groupBy with 32 conditional-sum aggregates (single shuffle).
     """
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        # spread the expensive md5-per-word map across tasks when the
-        # input is a single file (see simhash64)
-        df = df.repartition(min_parallelism, F.col(id_col))
+    # spread the expensive md5-per-word map across tasks when the
+    # input is a single file (see simhash64)
+    df = spread(df, min_parallelism, F.col(id_col))
     w = df.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
@@ -534,8 +533,7 @@ def simhash64(
     # single-file input would run it in one task (local bench reality —
     # a real lake has many files). min_parallelism pre-spreads rows so the
     # heavy map parallelizes; the tiny doc-text shuffle buys a 32-way agg.
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism, F.col(id_col))
+    df = spread(df, min_parallelism, F.col(id_col))
     w = df.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
@@ -684,8 +682,7 @@ def weighted_jaccard_pairs(
     count, so one join computing sum-of-mins + per-doc totals suffices.
     Returns (id_a, id_b, common_w, size_a, size_b, jaccard_w).
     """
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism, F.col(id_col))
+    df = spread(df, min_parallelism, F.col(id_col))
     tf = (
         df.select(
             F.col(id_col),

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from open_thoughts_spark.spread import spread
+
 
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -89,8 +91,7 @@ def knn_bruteforce(
     ``min_parallelism`` spreads the corpus pass when the input is one file
     (the interpreted cosine fold otherwise runs in a single task)."""
     qid = query_id_col or id_col
-    if min_parallelism and corpus.rdd.getNumPartitions() < min_parallelism:
-        corpus = corpus.repartition(min_parallelism, F.col(id_col))
+    corpus = spread(corpus, min_parallelism, F.col(id_col))
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -129,8 +130,7 @@ def cosine_pairs(
     ``min_parallelism``: a single-file input gives the broadcast pair join
     a one-partition probe side — the whole cosine compute in one task;
     repartitioning the base spreads it."""
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism, F.col(id_col))
+    df = spread(df, min_parallelism, F.col(id_col))
     base = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -181,8 +181,7 @@ def cosine_pairs_banded(
     """
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism, F.col(id_col))
+    df = spread(df, min_parallelism, F.col(id_col))
     width = n_planes // bands
     mask = F.lit((1 << width) - 1)
     sig = with_lsh_bucket(df, vec_col, n_planes=n_planes, out_col="_sig")
@@ -425,8 +424,7 @@ def ann_ivf_topk(
     to direction (argmax over K centroids) where LSH cuts with fixed
     hyperplanes — at 10^9 vectors the cell join cost is corpus/K × probes
     per query."""
-    if min_parallelism and corpus.rdd.getNumPartitions() < min_parallelism:
-        corpus = corpus.repartition(min_parallelism, F.col(id_col))
+    corpus = spread(corpus, min_parallelism, F.col(id_col))
     cb = with_ivf_cells(corpus, vec_col, n_centroids, n_probe=1)
     qb = with_ivf_cells(queries, vec_col, n_centroids, n_probe=n_probe)
     q = qb.select(
@@ -467,8 +465,7 @@ def ann_lsh_topk(
     LSH recall/cost dial). Recall < 1.0 by construction; the bucket join
     replaces the cross join so cost scales with bucket occupancy, not corpus
     size."""
-    if min_parallelism and corpus.rdd.getNumPartitions() < min_parallelism:
-        corpus = corpus.repartition(min_parallelism, F.col(id_col))
+    corpus = spread(corpus, min_parallelism, F.col(id_col))
     cb = with_lsh_bucket(corpus, vec_col, n_planes)
     qb = with_lsh_bucket(queries, vec_col, n_planes)
     if multiprobe > 0:

@@ -129,8 +129,8 @@ class CheckpointedPipeline:
             # a catalog-mode entry is only resumable when THIS pipeline has
             # the catalog; without it, recompute instead of AttributeError
             # (code-review r4: use_catalog=False over a catalog manifest)
-            return self.catalog is not None and os.path.exists(
-                self.catalog._manifest_path(self.table, entry["snapshot_id"])
+            return self.catalog is not None and self.catalog.has_snapshot(
+                self.table, entry["snapshot_id"]
             )
         return os.path.exists(os.path.join(entry["path"], "_SUCCESS"))
 

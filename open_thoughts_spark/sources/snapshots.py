@@ -63,6 +63,24 @@ class SnapshotCatalog:
         with open(self._manifest_path(table, snap_id)) as f:
             return json.load(f)
 
+    def has_snapshot(
+        self, table: str, snap_id: str, verify_data: bool = True
+    ) -> bool:
+        """True when ``snap_id`` is a readable snapshot of ``table``.
+
+        ``verify_data`` also checks every data file the manifest references
+        still exists (a manifest can outlive its files after an external
+        cleanup) — the check resume paths should use before trusting a
+        cache hit.
+        """
+        try:
+            m = self.manifest(table, snap_id)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+        if verify_data:
+            return all(os.path.exists(f) for f in m.get("files", []))
+        return True
+
     def history(self, table: str) -> list[dict]:
         """Manifest chain, newest first, from the current snapshot. A
         missing parent manifest (crash-lost or expired outside the sweep)

@@ -177,6 +177,39 @@ def stream_decontaminate(
     return stream_df.filter(~_contaminated(grams))
 
 
+_INTERVAL_UNIT_US = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark day-time interval string ("10 minutes",
+    "1 hour 30 minutes") into milliseconds — the same compound forms
+    ``withWatermark`` accepts (ADVICE r5: single-pair parsing rejected
+    valid compound intervals)."""
+    toks = interval.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"unsupported interval {interval!r}: expected one or more "
+            "'<n> <unit>' pairs, e.g. '1 hour 30 minutes'"
+        )
+    total_us = 0
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        if unit not in _INTERVAL_UNIT_US:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {interval!r}; "
+                f"supported: {sorted(set(_INTERVAL_UNIT_US))}"
+            )
+        total_us += int(qty) * _INTERVAL_UNIT_US[unit]
+    return total_us // 1_000
+
+
 def _minhash_band_rows(
     text_col: str,
     num_perm: int,
@@ -303,16 +336,7 @@ def stream_minhash_candidates(
         )
     )
 
-    # watermark delay in ms for the state TTL (parse "N unit" forms)
-    qty, unit = watermark.strip().split(None, 1)
-    unit_ms = {
-        "millisecond": 1, "milliseconds": 1,
-        "second": 1000, "seconds": 1000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-        "day": 86_400_000, "days": 86_400_000,
-    }[unit.strip().lower()]
-    ttl_ms = int(qty) * unit_ms
+    ttl_ms = _interval_ms(watermark)
 
     def dedupe_bucket(key, pdfs, state: GroupState):
         import pandas as pd

@@ -168,3 +168,24 @@ def test_judge_stdin_list_inputs_joined():
     )
     t = json.dumps({"inputs": [["20", "22"]], "outputs": ["42"]})
     assert judge_one(code, t, timeout_s=5) == (True, "", 1, 1)
+
+
+def test_cpu_rlimit_tracks_requested_timeout():
+    """ADVICE r5: RLIMIT_CPU must scale with the caller's timeout_s, not
+    the module default — a 5 s fixed cap SIGKILLs longer correct runs.
+    Probe the limit in a child process (setting it in-process would cap
+    the test runner itself)."""
+    import subprocess
+    import sys
+
+    probe = (
+        "from open_thoughts_spark.operators.code_judge import _set_limits\n"
+        "import resource\n"
+        "_set_limits(30.5)\n"
+        "print(resource.getrlimit(resource.RLIMIT_CPU)[0])\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True, cwd="."
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "32"  # ceil(30.5) + 1

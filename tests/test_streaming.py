@@ -201,3 +201,23 @@ def test_stream_band_keys_match_batch_on_messy_whitespace(spark):
         ).collect()
     }
     assert stream_keys == batch_keys
+
+
+def test_interval_ms_compound_and_errors():
+    """Watermark TTL parser accepts the compound interval forms
+    withWatermark itself accepts (ADVICE r5)."""
+    import pytest
+
+    from open_thoughts_spark.streaming.pipeline import _interval_ms
+
+    assert _interval_ms("10 minutes") == 600_000
+    assert _interval_ms("1 hour 30 minutes") == 5_400_000
+    assert _interval_ms("2 days 3 hours 4 minutes 5 seconds") == (
+        2 * 86_400_000 + 3 * 3_600_000 + 4 * 60_000 + 5_000
+    )
+    assert _interval_ms("1 week") == 604_800_000
+    assert _interval_ms("500 microseconds") == 0  # sub-ms rounds down
+    with pytest.raises(ValueError, match="pairs"):
+        _interval_ms("10")
+    with pytest.raises(ValueError, match="unit"):
+        _interval_ms("10 fortnights")
