@@ -3206,6 +3206,68 @@ SQL_CODE_EXEC_VERIFY = """
 """
 
 
+def q_pipeline_lineage(spark, sf_dir):
+    """Per-stage run-metadata lineage table (reference parity: one Postgres
+    ``datasets`` row per operator run with op hash / status / row_count —
+    synthetic_data_manager.py:794-1056, database/models.py:21-149). A
+    3-stage checkpointed pipeline over documents runs TWICE into a fresh
+    checkpoint dir: run 1 computes + commits every boundary, run 2 resumes
+    each stage from its snapshot — so the oracled output shows BOTH the
+    computed and the cache-hit lineage rows. Returned columns are the
+    deterministic subset (run/stage ordinals, action, integer row counts);
+    uuid/hash/timing columns stay in the log but out of the value hash."""
+    import tempfile
+
+    from open_thoughts_spark.pipeline.checkpoint import (
+        CheckpointedPipeline,
+        Stage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stages = [
+        Stage(
+            "min_length",
+            lambda d: d.filter(F.length("text") >= 100),
+            {"min_len": 100},
+        ),
+        Stage(
+            "english_only", lambda d: d.filter(F.col("lang") == "en"), {"lang": "en"}
+        ),
+        Stage(
+            "mod_sample", lambda d: d.filter(F.col("doc_id") % 7 != 0), {"mod": 7}
+        ),
+    ]
+    ckpt = tempfile.mkdtemp(prefix="lineage_q_")
+    pipe = CheckpointedPipeline(spark, ckpt, stages)
+    pipe.run(docs, input_fingerprint=f"docs@{sf_dir}")
+    pipe.run(docs, input_fingerprint=f"docs@{sf_dir}")
+    return pipe.lineage_df().select(
+        F.col("run_seq").cast("long").alias("run_seq"),
+        F.col("seq").cast("long").alias("seq"),
+        "stage",
+        "action",
+        F.col("output_rows").alias("rows_out"),
+    )
+
+
+SQL_PIPELINE_LINEAGE = """
+    with s1 as (select * from documents where length(text) >= 100),
+         s2 as (select * from s1 where lang = 'en'),
+         s3 as (select * from s2 where doc_id % 7 <> 0)
+    select cast(r as bigint) as run_seq, cast(q as bigint) as seq,
+           stage, action, rows_out
+    from (
+      select 1 as r, 0 as q, 'min_length' as stage, 'computed' as "action",
+             (select count(*) from s1) as rows_out
+      union all select 1, 1, 'english_only', 'computed', (select count(*) from s2)
+      union all select 1, 2, 'mod_sample', 'computed', (select count(*) from s3)
+      union all select 2, 0, 'min_length', 'resumed', (select count(*) from s1)
+      union all select 2, 1, 'english_only', 'resumed', (select count(*) from s2)
+      union all select 2, 2, 'mod_sample', 'resumed', (select count(*) from s3)
+    )
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": q_tpch_q1,
@@ -3291,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_url_classify_repeat": q_map_url_classify_repeat,
         "html_main_content": q_html_main_content,
         "verify_mix_sharegpt": q_verify_mix,
+        "pipeline_lineage": q_pipeline_lineage,
     }
 
 
@@ -3372,6 +3435,7 @@ def oracle_sql() -> dict[str, str]:
         "map_url_classify_repeat": SQL_MAP_URL_CLASSIFY_REPEAT,
         "html_main_content": SQL_HTML_MAIN_CONTENT,
         "verify_mix_sharegpt": SQL_VERIFY_MIX,
+        "pipeline_lineage": SQL_PIPELINE_LINEAGE,
         "ann_lsh_top5": SQL_ANN_LSH,
         "ann_ivf_top5": SQL_ANN_IVF,
         "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,

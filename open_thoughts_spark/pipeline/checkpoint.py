@@ -33,10 +33,25 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Schema of the queryable per-stage run-lineage table (``lineage_df``).
+#: Parity: the reference records one Postgres ``datasets`` row per operator
+#: run — op hash, YAML, timing, status, row count
+#: (synthetic_data_manager.py:794-1056, database/models.py:21-149). Here
+#: the row is appended per stage per ``run()`` to a JSONL log next to the
+#: manifest; counts are integer-space so the table value-oracles.
+LINEAGE_SCHEMA = (
+    "run_id string, run_seq int, seq int, stage string, stage_hash string, "
+    "action string, snapshot_id string, path string, input_rows long, "
+    "output_rows long, wall_ms long, input_fingerprint string, "
+    "config string, ts_ms long"
+)
 
 
 def _stable_json(obj) -> str:
@@ -106,8 +121,10 @@ class CheckpointedPipeline:
         self.table = table
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._manifest_path = os.path.join(checkpoint_dir, "manifest.json")
+        self._lineage_path = os.path.join(checkpoint_dir, "lineage.jsonl")
         self.manifest: dict = self._load_manifest()
         self.events: list[dict] = []  # audit of hit/miss per run
+        self._run_count = 0
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
@@ -219,9 +236,19 @@ class CheckpointedPipeline:
         Only stages at ``snapshot_every`` boundaries (and the final stage)
         are materialized — intermediate stages stay lazy, so checkpointing
         costs one parquet write per boundary, not per stage.
+
+        Every stage appends a lineage row (``LINEAGE_SCHEMA``) to
+        ``lineage.jsonl``: action, snapshot id, input/output row counts at
+        materialization boundaries (a count on freshly written parquet is
+        metadata-cheap), and per-boundary wall time. Lazy (non-boundary)
+        stages record null rows/wall — they were never materialized, so any
+        number there would be an extra full computation, not an audit.
         """
         upstream = input_fingerprint
         self.events = []
+        self._run_count += 1
+        run_id = uuid.uuid4().hex[:12]
+        rows_in: int | None = None  # last materialized boundary's count
         pending: list[tuple[str, Stage]] = []
         for i, stage in enumerate(self.stages):
             h = stage_hash(stage.name, stage.config, upstream)
@@ -231,7 +258,9 @@ class CheckpointedPipeline:
             )
             if is_boundary and self._snapshot_ok(h):
                 # resume: drop everything queued, read the snapshot
+                t0 = time.time()
                 df = self._read_boundary(h)
+                out_rows = df.count()
                 pending = []
                 self.events.append(
                     {
@@ -241,20 +270,75 @@ class CheckpointedPipeline:
                         "snapshot_id": self.manifest["stages"][h].get(
                             "snapshot_id"
                         ),
+                        "seq": i,
+                        "input_rows": None,  # upstream never ran this run
+                        "output_rows": out_rows,
+                        "wall_ms": int((time.time() - t0) * 1000),
                     }
                 )
+                rows_in = out_rows
                 continue
             pending.append((h, stage))
             if not is_boundary:
                 continue
-            for ph, pstage in pending:
+            t0 = time.time()
+            group_input_rows = rows_in
+            for j, (ph, pstage) in enumerate(pending):
                 df = pstage.fn(df)
                 self.events.append(
-                    {"stage": pstage.name, "hash": ph, "action": "computed"}
+                    {
+                        "stage": pstage.name,
+                        "hash": ph,
+                        "action": "computed",
+                        "seq": i - len(pending) + 1 + j,
+                        "input_rows": group_input_rows if j == 0 else None,
+                        "output_rows": None,
+                        "wall_ms": None,
+                    }
                 )
             pending = []
             df = self._commit_boundary(df, stage, h)
-            self.events[-1]["snapshot_id"] = self.manifest["stages"][h].get(
-                "snapshot_id"
+            out_rows = df.count()
+            rows_in = out_rows
+            self.events[-1].update(
+                {
+                    "snapshot_id": self.manifest["stages"][h].get("snapshot_id"),
+                    "output_rows": out_rows,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                }
             )
+        self._append_lineage(run_id, input_fingerprint)
         return df
+
+    def _append_lineage(self, run_id: str, input_fingerprint: str) -> None:
+        by_name = {s.name: s for s in self.stages}
+        now_ms = int(time.time() * 1000)
+        with open(self._lineage_path, "a") as f:
+            for e in self.events:
+                entry = self.manifest["stages"].get(e["hash"], {})
+                row = {
+                    "run_id": run_id,
+                    "run_seq": self._run_count,
+                    "seq": e.get("seq"),
+                    "stage": e["stage"],
+                    "stage_hash": e["hash"],
+                    "action": e["action"],
+                    "snapshot_id": e.get("snapshot_id"),
+                    "path": entry.get("path"),
+                    "input_rows": e.get("input_rows"),
+                    "output_rows": e.get("output_rows"),
+                    "wall_ms": e.get("wall_ms"),
+                    "input_fingerprint": input_fingerprint,
+                    "config": _stable_json(by_name[e["stage"]].config),
+                    "ts_ms": now_ms,
+                }
+                f.write(json.dumps(row) + "\n")
+
+    def lineage_df(self) -> DataFrame:
+        """The per-stage run-lineage log as a queryable DataFrame — the
+        audit table a curation search over thousands of pipeline runs
+        filters ('which runs dropped >90% of rows at decontaminate?',
+        'which stage hash produced snapshot X?'). Empty-log safe."""
+        if not os.path.exists(self._lineage_path):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).json(self._lineage_path)
