@@ -221,3 +221,73 @@ def test_interval_ms_compound_and_errors():
         _interval_ms("10")
     with pytest.raises(ValueError, match="unit"):
         _interval_ms("10 fortnights")
+
+
+def test_stream_minhash_verified_matches_batch(spark, tmp_path):
+    """VERDICT r5 #3: the foreachBatch verify composition — streaming
+    confirmed near-dups must equal the batch path (candidate_pairs +
+    exact-Jaccard verify) on the same data: band keys are bit-exact, the
+    verify kernel is the same function, so the verdicts must match
+    exactly. Fixture includes a band-colliding-but-low-Jaccard pair to
+    prove verification actually rejects (collision alone over-flags)."""
+    from open_thoughts_spark.operators import dedup
+    from open_thoughts_spark.streaming.pipeline import stream_minhash_verified
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base, "2026-01-01 10:00:00"),
+        (2, base + " again", "2026-01-01 10:01:00"),  # confirm: j=0.923
+        # collides with 1/2 but jaccard 0.39-0.41 -> rejected by verify
+        (11, "a quick brown fox jumps over the lazy dog by another river bank today",
+         "2026-01-01 10:02:00"),
+        (13, "some quick brown fox jumps over the lazy dog near the river dock today",
+         "2026-01-01 10:03:00"),  # confirm vs 1: j=0.6
+        (14, "the quick brown fox jumps over the lazy cat near the river bank sunday",
+         "2026-01-01 10:04:00"),  # collides w/ 13 at j=0.333 -> rejected
+        (3, "completely different content with no overlapping word grams at all whatsoever",
+         "2026-01-01 10:05:00"),  # novel
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(src / "*"))
+
+    confirmed_rows = []
+
+    def sink(cdf, epoch_id):
+        confirmed_rows.extend(cdf.collect())
+
+    writer = stream_minhash_verified(
+        stream, "doc_id", "text", "ts",
+        texts=lambda: df, sink=sink, min_jaccard=0.5, watermark="1 hour",
+    )
+    q = writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(300)
+
+    stream_confirmed = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in confirmed_rows
+    }
+
+    # batch path on the same data: band candidates -> same Jaccard verify
+    bands = dedup.lsh_bands(
+        dedup.minhash_signature(df, "doc_id", "text", num_perm=8, shingle_n=3),
+        "doc_id", bands=4, rows_per_band=2,
+    )
+    cand = dedup.candidate_pairs(bands, "doc_id")
+    batch_confirmed = {}
+    for r in dedup.jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, min_jaccard=0.5, pairs=cand
+    ).collect():
+        a, b = sorted([str(r["id_a"]), str(r["id_b"])])
+        batch_confirmed[(a, b)] = round(r["jaccard"], 9)
+
+    assert stream_confirmed == batch_confirmed
+    assert set(stream_confirmed) == {("1", "2"), ("1", "13")}
