@@ -105,3 +105,53 @@ def test_ivf_cells_prune_pair_space(spark):
     )
     n = df.count()
     assert cand < 0.35 * n * n, "IVF cells do not prune the pair space"
+
+
+def test_banded_cosine_recall_at_two_plane_counts(spark):
+    """VERDICT r5 #6: banded-LSH recall holds when bands widen for larger
+    corpora — exact-cosine verify keeps precision exact at ANY width, and
+    the measured recall at two plane counts brackets the sizing trade."""
+    df = _planted(spark, n=250, n_queries=40)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    assert len(truth) >= 40  # the planted twins qualify
+    for n_planes in (48, 96):  # 6-bit and 12-bit bands at 8 bands
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_pairs_banded(
+                df, "vec_id", "embedding", 0.9, n_planes=n_planes
+            ).collect()
+        }
+        assert got <= truth  # exact verify: no false positives ever
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9, f"recall {recall:.2f} at n_planes={n_planes}"
+
+
+def test_banded_lsh_sizing_occupancy_math():
+    from open_thoughts_spark.operators.similarity import banded_lsh_sizing
+
+    # small corpora keep the floor width
+    assert banded_lsh_sizing(1_000) == 8 * 6
+    assert banded_lsh_sizing(0) == 8 * 6
+    # 10^9 rows / 1024-target -> 20-bit bands
+    assert banded_lsh_sizing(1 << 30) == 8 * 20
+    # bands scale the total plane count
+    assert banded_lsh_sizing(1 << 30, bands=16) == 16 * 20
+    # tighter occupancy target widens bands
+    assert banded_lsh_sizing(1 << 30, target_bucket=64) == 8 * 24
+
+
+def test_banded_cosine_auto_sizing(spark):
+    """n_planes='auto' derives band width from the corpus count; at bench
+    N it resolves to the 6-bit floor and finds the planted twins."""
+    df = _planted(spark, n=150, n_queries=25)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_banded(
+            df, "vec_id", "embedding", 0.9, n_planes="auto"
+        ).collect()
+    }
+    twins = {(i, 10000 + i) for i in range(25)}
+    assert len(got & twins) / 25 >= 0.9
