@@ -189,3 +189,164 @@ def test_cpu_rlimit_tracks_requested_timeout():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "32"  # ceil(30.5) + 1
+
+
+# --- compare-ladder fuzz (VERDICT r5 #7) -----------------------------------
+# Property tests over generated cases for the deterministic ladder subset
+# (judge.py:484-617 / :276-388 semantics): float formats, blank-line noise,
+# token reorder, tuple/list normalization, singleton unwrap.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_thoughts_spark.operators.code_judge import (
+    compare_cb_result,
+    compare_std_outputs,
+)
+
+_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6
+)
+_line = st.lists(_word, min_size=1, max_size=5).map(" ".join)
+_lines = st.lists(_line, min_size=1, max_size=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines, st.randoms(use_true_random=False))
+def test_fuzz_std_blank_line_and_padding_noise_matches(lines, rnd):
+    """Rung 2: per-line strip + blank-line drop — any padding/blank noise
+    around the same lines must still compare equal."""
+    expected = "\n".join(lines)
+    noisy = []
+    for ln in lines:
+        if rnd.random() < 0.5:
+            noisy.append("")
+        noisy.append(" " * rnd.randint(0, 3) + ln + "\t" * rnd.randint(0, 2))
+    noisy.append("\n" * rnd.randint(0, 2))
+    assert compare_std_outputs("\n".join(noisy), expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_fuzz_std_float_formats_within_tolerance_match(vals, rnd):
+    """Rung 3: same numbers, different renderings (precision, exponent
+    notation, relative jitter inside 1e-5) compare equal."""
+    expected = " ".join(repr(v) for v in vals)
+    fmts = ["{:.9f}", "{:.7e}", "{:.10g}"]
+    got = " ".join(
+        fmts[rnd.randrange(len(fmts))].format(v * (1 + 1e-7)) for v in vals
+    )
+    assert compare_std_outputs(got, expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+def test_fuzz_std_float_clearly_off_rejects(vals, idx):
+    """A value off by 1% (far beyond rel 1e-5) must fail every rung —
+    including the token-set rung, since the rendered text differs."""
+    expected = " ".join(repr(v) for v in vals)
+    bad = list(vals)
+    i = idx % len(bad)
+    bad[i] = bad[i] * 1.01 + 1.0
+    got = " ".join(repr(v) for v in bad)
+    assert not compare_std_outputs(got, expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines, st.randoms(use_true_random=False))
+def test_fuzz_std_per_line_token_reorder_matches(lines, rnd):
+    """Rung 4/5: tokens shuffled WITHIN each line compare equal (unordered
+    per-line set semantics)."""
+    expected = "\n".join(lines)
+    shuffled = []
+    for ln in lines:
+        toks = ln.split()
+        rnd.shuffle(toks)
+        shuffled.append(" ".join(toks))
+    assert compare_std_outputs("\n".join(shuffled), expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines, st.randoms(use_true_random=False))
+def test_fuzz_std_novel_token_rejects(lines, rnd):
+    """Injecting a token that appears nowhere in the expected line must
+    fail: it changes the line's token set and every stricter rung."""
+    expected = "\n".join(lines)
+    i = rnd.randrange(len(lines))
+    mutated = list(lines)
+    mutated[i] = mutated[i] + " zzznovel"
+    assert not compare_std_outputs("\n".join(mutated), expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines)
+def test_fuzz_std_list_expected_equivalent_to_joined(lines):
+    """A list-typed expected value compares exactly like its newline-join
+    (the reference feeds both shapes)."""
+    got = "\n".join(lines)
+    assert compare_std_outputs(got, lines)
+    assert compare_std_outputs(got, "\n".join(lines))
+
+
+_json_scalar = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.text(alphabet="abcxyz", max_size=5),
+    st.booleans(),
+)
+_json_value = st.one_of(
+    _json_scalar, st.lists(_json_scalar, max_size=5)
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_json_value)
+def test_fuzz_cb_roundtrip_and_singleton_unwrap(v):
+    """Parsed-value equality survives a JSON round trip, and a singleton
+    wrapping on either side still matches (judge.py:360 outputs[0] rung)."""
+    import json as _json
+
+    assert compare_cb_result(_json.dumps(v), v)
+    assert compare_cb_result(_json.dumps([v]), v)
+    assert compare_cb_result(_json.dumps(v), [v])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_json_scalar, min_size=1, max_size=5))
+def test_fuzz_cb_tuple_expected_normalized(items):
+    """Ground-truth tuples compare as lists (judge.py:355-357)."""
+    import json as _json
+
+    assert compare_cb_result(_json.dumps(items), tuple(items))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_fuzz_cb_float_jitter_matches_and_offset_rejects(vals):
+    import json as _json
+
+    jittered = [v * (1 + 1e-7) for v in vals]
+    assert compare_cb_result(_json.dumps(jittered), vals)
+    off = [v * 1.01 + 1.0 for v in vals]
+    assert not compare_cb_result(_json.dumps(off), vals)
