@@ -140,9 +140,37 @@ def score_batch(model: NBModel, texts: pd.Series, target_label: str) -> pd.Serie
     return pd.Series(out, index=texts.index)
 
 
-def classifier_score_udf(spark, model: NBModel, target_label: str):
+def classifier_score_udf(
+    spark,
+    model: NBModel | None,
+    target_label: str,
+    model_path: str | None = None,
+    backend: str = "fasttext",
+):
     """Broadcast the model arrays; score in Arrow batches (the
-    fasttext_operator batched-predict harness, batch ≈ 500+ texts)."""
+    fasttext_operator batched-predict harness, batch ≈ 500+ texts).
+
+    ``model_path`` switches to a REAL model (VERDICT r4 next #8): the
+    loader for ``backend`` is resolved from ``models.REAL_LOADERS`` here
+    on the driver (so tests/deployments can swap it without touching call
+    sites), travels inside the UDF closure, and materializes once per
+    worker via ``models.cached_model``. The hermetic NB path — and its
+    DuckDB oracles — are unchanged when ``model_path`` is None."""
+    if model_path is not None:
+        from open_thoughts_spark import models as _models
+
+        loader = _models.REAL_LOADERS[backend]
+
+        @F.pandas_udf("double")
+        def _real_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from open_thoughts_spark.models import cached_model
+
+            scorer = cached_model(loader, model_path, target_label)
+            for batch in batches:
+                yield scorer(batch)
+
+        return _real_udf
+
     bc = spark.sparkContext.broadcast(model.to_arrays())
 
     @F.pandas_udf("double")
@@ -158,7 +186,7 @@ def classifier_score_udf(spark, model: NBModel, target_label: str):
 def classifier_filter(
     spark,
     df: DataFrame,
-    model: NBModel,
+    model: NBModel | None,
     text_col: str,
     target_label: str,
     score_col: str = "_clf_score",
@@ -166,6 +194,8 @@ def classifier_filter(
     top_percentage: float | None = None,
     just_add_scores: bool = False,
     min_parallelism: int | None = None,
+    model_path: str | None = None,
+    backend: str = "fasttext",
 ) -> DataFrame:
     """The fasttext operator's three modes (fasttext_operator.py:143-158):
 
@@ -174,12 +204,18 @@ def classifier_filter(
       np.percentile over collected scores; here percent_rank — one window,
       no driver collect);
     - else: ``score > filter_threshold``.
+
+    ``model_path`` scores with a real model (see ``classifier_score_udf``);
+    ``model`` may then be None.
     """
     # single-file inputs scan as ONE task; spread the Python-side
     # scoring UDF across executors first
     df = spread(df, min_parallelism)
     scored = df.withColumn(
-        score_col, classifier_score_udf(spark, model, target_label)(F.col(text_col))
+        score_col,
+        classifier_score_udf(
+            spark, model, target_label, model_path=model_path, backend=backend
+        )(F.col(text_col)),
     )
     if just_add_scores:
         return scored

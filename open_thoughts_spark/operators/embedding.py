@@ -60,7 +60,29 @@ def embed_texts(
     dim: int = 64,
     max_chars: int = 512,
     normalize: bool = True,
+    model_path: str | None = None,
+    backend: str = "sentence_transformer",
 ) -> DataFrame:
+    """``model_path`` switches the encoder kernel to a real model (VERDICT
+    r4 next #8): the ``backend`` loader resolves from
+    ``models.REAL_LOADERS`` driver-side and materializes once per worker —
+    chunk/pool/normalize semantics live in the loader so this harness and
+    the hermetic oracle path stay unchanged."""
+    if model_path is not None:
+        from open_thoughts_spark import models as _models
+
+        loader = _models.REAL_LOADERS[backend]
+
+        @F.pandas_udf("array<double>")
+        def _real_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from open_thoughts_spark.models import cached_model
+
+            encoder = cached_model(loader, model_path, max_chars, normalize)
+            for batch in batches:
+                yield encoder(batch)
+
+        return df.withColumn(out_col, _real_udf(F.col(text_col)))
+
     @F.pandas_udf("array<double>")
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in batches:
