@@ -7,7 +7,8 @@ or locally:
     python -m open_thoughts_spark --generate-fixture 600 --input <dir> \
         [--output <dir>]   # writes the deterministic fixture first
 
-Outputs under --output: decisions/, filtered/, metrics/, lineage/ (parquet).
+Outputs under --output: decisions/, filtered/, metrics/, lineage/ (parquet);
+with --checkpoint-dir also run_lineage/ (the per-stage run-metadata audit).
 """
 
 from __future__ import annotations
@@ -71,11 +72,15 @@ def main(argv: list[str] | None = None) -> int:
             rollback_to=args.rollback_to,
         )
         resumed = [e for e in events if e["action"] == "resumed"]
+        from open_thoughts_spark.pipeline.checkpoint import lineage_table
+
         result = {
             "decisions": decided,
             "filtered": decided.filter(F.col("keep")).drop("keep", "drop_reason"),
             "metrics": drop_reason_metrics(decided),
             "lineage": partition_lineage(decided),
+            # per-stage run-metadata audit (reference `datasets`-rows parity)
+            "run_lineage": lineage_table(spark, args.checkpoint_dir),
         }
         if args.output:
             for name, df in result.items():

@@ -246,6 +246,13 @@ class CheckpointedPipeline:
         """
         upstream = input_fingerprint
         self.events = []
+        if self._run_count == 0 and os.path.exists(self._lineage_path):
+            # a fresh process over an existing log continues the run
+            # numbering instead of restarting at 1 (distinct run ids seen)
+            with open(self._lineage_path) as f:
+                self._run_count = len(
+                    {json.loads(ln)["run_id"] for ln in f if ln.strip()}
+                )
         self._run_count += 1
         run_id = uuid.uuid4().hex[:12]
         rows_in: int | None = None  # last materialized boundary's count
@@ -339,6 +346,13 @@ class CheckpointedPipeline:
         audit table a curation search over thousands of pipeline runs
         filters ('which runs dropped >90% of rows at decontaminate?',
         'which stage hash produced snapshot X?'). Empty-log safe."""
-        if not os.path.exists(self._lineage_path):
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.schema(LINEAGE_SCHEMA).json(self._lineage_path)
+        return lineage_table(self.spark, self.dir)
+
+
+def lineage_table(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Read a checkpoint dir's run-lineage log without constructing the
+    pipeline (the CLI / notebook audit path). Empty-log safe."""
+    path = os.path.join(checkpoint_dir, "lineage.jsonl")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.schema(LINEAGE_SCHEMA).json(path)
