@@ -160,3 +160,82 @@ class RateLimitedBackend:
 
 # per-worker-process bucket state: {limiter key: [tokens, last_clock]}
 _WORKER_BUCKETS: dict[str, list] = {}
+
+
+def openai_compatible_backend(
+    base_url: str,
+    model: str,
+    api_key_env: str = "OPENAI_API_KEY",
+    max_tokens: int = 1024,
+    temperature: float = 0.0,
+    timeout_s: float = 120.0,
+    max_retries: int = 3,
+    concurrency: int = 8,
+    transport: Callable[[str, bytes, dict], str] | None = None,
+) -> Callable[[pd.Series], pd.Series]:
+    """Production batch backend over any OpenAI-compatible
+    ``/chat/completions`` HTTP endpoint (vLLM, llama.cpp server, hosted
+    APIs) — the real-LLM counterpart of ``mock_backend``, stdlib-only
+    (urllib + threads) so it adds no dependencies. Wrap with
+    ``RateLimitedBackend`` for pacing; cluster-wide concurrency =
+    executors × ``concurrency`` (module docstring).
+
+    Each prompt posts as a single user message; the completion is
+    ``choices[0].message.content``. Transient failures retry with
+    exponential backoff; exhaustion raises, failing the Spark task (task
+    retry is the right semantic — a silently empty completion would
+    poison downstream parses). ``transport(url, body, headers) -> str``
+    injects the HTTP call for tests and custom auth/proxies; the API key
+    is read from ``api_key_env`` on the WORKER at call time (ship secrets
+    via executor env, not closures).
+    """
+    import json as _json
+
+    def _default_transport(url: str, body: bytes, headers: dict) -> str:
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.read().decode("utf-8")
+
+    send = transport or _default_transport
+    url = base_url.rstrip("/") + "/chat/completions"
+
+    def _one(prompt: str) -> str:
+        import os as _os
+        import time as _time
+
+        headers = {"Content-Type": "application/json"}
+        key = _os.environ.get(api_key_env)
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        body = _json.dumps(
+            {
+                "model": model,
+                "messages": [{"role": "user", "content": prompt}],
+                "max_tokens": max_tokens,
+                "temperature": temperature,
+            }
+        ).encode("utf-8")
+        last_err: Exception | None = None
+        for attempt in range(max_retries):
+            try:
+                raw = send(url, body, headers)
+                return _json.loads(raw)["choices"][0]["message"]["content"]
+            except Exception as e:  # noqa: BLE001 - retry any transport error
+                last_err = e
+                if attempt + 1 < max_retries:
+                    _time.sleep(0.5 * (2**attempt))
+        raise RuntimeError(
+            f"completions backend failed after {max_retries} attempts: {last_err}"
+        )
+
+    def backend(prompts: pd.Series) -> pd.Series:
+        from concurrent.futures import ThreadPoolExecutor
+
+        vals = ["" if p is None else str(p) for p in prompts]
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            out = list(pool.map(_one, vals))
+        return pd.Series(out, index=prompts.index)
+
+    return backend

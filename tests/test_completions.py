@@ -442,3 +442,91 @@ def test_rate_limiter_shared_across_tasks_per_worker():
         assert saved is not C._WORKER_BUCKETS.get("shared-test")
     finally:
         C._WORKER_BUCKETS.pop("shared-test", None)
+
+
+def test_openai_compatible_backend_request_shape_and_parse():
+    """The HTTP backend posts one user message per prompt and returns
+    choices[0].message.content; transport is injectable so no network."""
+    import json
+
+    from open_thoughts_spark.operators.completions import (
+        openai_compatible_backend,
+    )
+
+    seen = []
+
+    def fake_transport(url, body, headers):
+        req = json.loads(body)
+        seen.append((url, req, dict(headers)))
+        return json.dumps(
+            {"choices": [{"message": {"content": "echo:" + req["messages"][0]["content"]}}]}
+        )
+
+    be = openai_compatible_backend(
+        "http://llm.example/v1/", "test-model", transport=fake_transport,
+        concurrency=2,
+    )
+    out = be(pd.Series(["alpha", "beta", None], index=[3, 5, 7]))
+    assert list(out) == ["echo:alpha", "echo:beta", "echo:"]
+    assert list(out.index) == [3, 5, 7]
+    url, req, headers = seen[0]
+    assert url == "http://llm.example/v1/chat/completions"
+    assert req["model"] == "test-model"
+    assert req["messages"] == [{"role": "user", "content": "alpha"}]
+    assert headers["Content-Type"] == "application/json"
+
+
+def test_openai_compatible_backend_retries_then_raises(monkeypatch):
+    import json
+
+    from open_thoughts_spark.operators import completions as cmod
+
+    monkeypatch.setattr(
+        "time.sleep", lambda s: None
+    )  # instant backoff in test
+    calls = {"n": 0}
+
+    def flaky(url, body, headers):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("connection reset")
+        return json.dumps({"choices": [{"message": {"content": "ok"}}]})
+
+    be = cmod.openai_compatible_backend(
+        "http://x", "m", transport=flaky, concurrency=1
+    )
+    assert list(be(pd.Series(["p"]))) == ["ok"]
+    assert calls["n"] == 3
+
+    def always_down(url, body, headers):
+        raise OSError("down")
+
+    be2 = cmod.openai_compatible_backend(
+        "http://x", "m", transport=always_down, max_retries=2, concurrency=1
+    )
+    try:
+        be2(pd.Series(["p"]))
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "2 attempts" in str(e)
+
+
+def test_openai_compatible_backend_api_key_header(monkeypatch):
+    import json
+
+    from open_thoughts_spark.operators.completions import (
+        openai_compatible_backend,
+    )
+
+    monkeypatch.setenv("MY_KEY_ENV", "sk-test-123")
+    got = {}
+
+    def t(url, body, headers):
+        got.update(headers)
+        return json.dumps({"choices": [{"message": {"content": "x"}}]})
+
+    be = openai_compatible_backend(
+        "http://x", "m", api_key_env="MY_KEY_ENV", transport=t, concurrency=1
+    )
+    be(pd.Series(["p"]))
+    assert got["Authorization"] == "Bearer sk-test-123"
