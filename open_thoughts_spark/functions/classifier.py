@@ -112,6 +112,50 @@ def train_text_classifier(
     return NBModel(classes, dim, log_prior, log_lik)
 
 
+def train_fasttext_real(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    model_path: str,
+    max_rows: int = 200_000,
+    seed: int = 42,
+    **train_kwargs,
+) -> str:
+    """Real fastText training (train_fasttext_operator.py:52-256
+    semantics): collect the (capped, hash-sampled — same policy as the
+    hermetic trainer) labeled sample driver-side, write the
+    ``__label__X text`` corpus file, ``fasttext.train_supervised``, save
+    the ``.bin`` to ``model_path`` — which then plugs straight into
+    ``classifier_filter(model_path=...)``. Training is inherently
+    single-node in the reference too; the cap bounds driver memory.
+    Raises ImportError where the fasttext package is absent (this
+    sandbox) — the hermetic ``train_text_classifier`` is the default."""
+    import os
+    import tempfile
+
+    import fasttext
+
+    n = df.count()
+    sample = df.select(text_col, label_col)
+    if n > max_rows:
+        keyed = sample.withColumn(
+            "_k", F.abs(F.xxhash64(F.col(text_col), F.lit(seed)))
+        )
+        sample = keyed.orderBy("_k").limit(max_rows).drop("_k")
+    pdf = sample.toPandas()
+    fd, corpus = tempfile.mkstemp(suffix=".txt")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            for text, label in zip(pdf[text_col].fillna(""), pdf[label_col]):
+                clean = str(text).replace("\n", " ")
+                f.write(f"__label__{label} {clean}\n")
+        model = fasttext.train_supervised(input=corpus, **train_kwargs)
+        model.save_model(model_path)
+    finally:
+        os.unlink(corpus)
+    return model_path
+
+
 def score_batch(model: NBModel, texts: pd.Series, target_label: str) -> pd.Series:
     """Probability of ``target_label`` per text (softmax over class scores).
 

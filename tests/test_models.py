@@ -124,3 +124,40 @@ def test_fake_series_index_preserved():
     s = pd.Series(["a", "bb"], index=[7, 9])
     out = pd.Series([len(t) / 100.0 for t in s], index=s.index)
     assert list(out.index) == [7, 9]
+
+
+def test_train_fasttext_real_writes_corpus_and_saves(spark, monkeypatch, tmp_path):
+    """Real-training plug: labeled rows become a __label__X corpus file,
+    train_supervised runs on it, the model saves to model_path (fasttext
+    faked — absent here, which is what the plug exists for)."""
+    import sys
+    import types
+
+    seen = {}
+
+    class FakeModel:
+        def save_model(self, path):
+            seen["saved"] = path
+
+    def fake_train(input, **kw):
+        seen["corpus"] = open(input, encoding="utf-8").read()
+        seen["kwargs"] = kw
+        return FakeModel()
+
+    fake_ft = types.ModuleType("fasttext")
+    fake_ft.train_supervised = fake_train
+    monkeypatch.setitem(sys.modules, "fasttext", fake_ft)
+
+    from open_thoughts_spark.functions.classifier import train_fasttext_real
+
+    df = spark.createDataFrame(
+        [("good doc\nwith newline", "pos"), ("bad doc", "neg")],
+        "text string, label string",
+    )
+    out = train_fasttext_real(
+        df, "text", "label", str(tmp_path / "m.bin"), epoch=5
+    )
+    assert out == str(tmp_path / "m.bin") == seen["saved"]
+    lines = sorted(seen["corpus"].strip().split("\n"))
+    assert lines == ["__label__neg bad doc", "__label__pos good doc with newline"]
+    assert seen["kwargs"] == {"epoch": 5}
