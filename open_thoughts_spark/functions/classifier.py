@@ -112,6 +112,30 @@ def train_text_classifier(
     return NBModel(classes, dim, log_prior, log_lik)
 
 
+def save_nb_model(model: NBModel, path: str) -> str:
+    """Persist the hermetic model (npz) so the train op can hand a PATH to
+    the scoring op — the reference's train_fasttext -> fasttext contract
+    is path-based (the model file, not the object, crosses operators)."""
+    np.savez_compressed(
+        path,
+        classes=np.array(model.classes, dtype=object),
+        dim=np.array([model.dim]),
+        log_prior=model.log_prior,
+        log_lik=model.log_lik,
+    )
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def load_nb_model(path: str) -> NBModel:
+    z = np.load(path, allow_pickle=True)
+    return NBModel(
+        [str(c) for c in z["classes"]],
+        int(z["dim"][0]),
+        z["log_prior"],
+        z["log_lik"],
+    )
+
+
 def train_fasttext_real(
     df: DataFrame,
     text_col: str,

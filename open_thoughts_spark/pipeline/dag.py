@@ -93,6 +93,39 @@ CONFIG_SPECS: dict[str, ConfigSpec] = {
     # was a run-time KeyError — code-review r4)
     "add_constant": ConfigSpec({"column": str, "value": object}),
     "load_preexisting": ConfigSpec({"framework_name": str}),
+    # the reference's train_fasttext -> fasttext YAML pair
+    # (train_fasttext_operator.py / fasttext_operator.py): the model
+    # crosses operators as a PATH; train emits a one-row metadata dataset
+    "train_classifier": ConfigSpec(
+        {"text_col": str, "label_col": str, "model_out": str},
+        {"dim": int, "max_rows": int, "seed": int},
+    ),
+    # model_path may come from config OR from a second input — the
+    # train_classifier metadata dataset — which also gives the DAG the
+    # train-before-score topological edge the reference relies on
+    "classifier_filter": ConfigSpec(
+        {"text_col": str, "target_label": str},
+        {
+            "model_path": str,
+            "backend": str,  # 'hermetic' (npz) or a models.REAL_LOADERS key
+            "filter_threshold": _NUM,
+            "top_percentage": _NUM,
+            "just_add_scores": bool,
+            "score_col": str,
+            "min_parallelism": int,
+        },
+    ),
+    "embed_texts": ConfigSpec(
+        {"text_col": str},
+        {
+            "out_col": str,
+            "dim": int,
+            "max_chars": int,
+            "normalize": bool,
+            "model_path": str,
+            "backend": str,
+        },
+    ),
 }
 
 # keys the parser/runtime inject or consume itself
@@ -454,6 +487,82 @@ def _op_add_constant(spark, cfg, inputs):
     )
 
 
+def _op_train_classifier(spark, cfg, inputs):
+    """Train on the labeled input, save the model to ``model_out``, emit a
+    one-row metadata dataset (the reference's train_fasttext output
+    contract — the data plane carries metadata, the model rides a path)."""
+    from open_thoughts_spark.functions.classifier import (
+        save_nb_model,
+        train_text_classifier,
+    )
+
+    df = _one(inputs, "train_classifier")
+    model = train_text_classifier(
+        df,
+        cfg["text_col"],
+        cfg["label_col"],
+        dim=cfg.get("dim", 2**15),
+        max_rows=cfg.get("max_rows", 200_000),
+        seed=cfg.get("seed", 42),
+    )
+    path = save_nb_model(model, cfg["model_out"])
+    return spark.createDataFrame(
+        [(path, len(model.classes), ",".join(model.classes))],
+        "model_path string, n_classes int, classes string",
+    )
+
+
+def _op_classifier_filter(spark, cfg, inputs):
+    from open_thoughts_spark.functions.classifier import (
+        classifier_filter,
+        load_nb_model,
+    )
+
+    if len(inputs) not in (1, 2):
+        raise DAGParseError(
+            "classifier_filter expects 1 input (data) or 2 (data, "
+            f"train_classifier metadata), got {len(inputs)}"
+        )
+    df = inputs[0]
+    model_path = cfg.get("model_path")
+    if len(inputs) == 2:
+        # the trainer's metadata row carries the path (and the DAG edge)
+        model_path = inputs[1].select("model_path").first()["model_path"]
+    if model_path is None:
+        raise DAGParseError(
+            "classifier_filter needs 'model_path' in config or a "
+            "train_classifier metadata input"
+        )
+    cfg = {**cfg, "model_path": model_path}
+    backend = cfg.get("backend", "hermetic")
+    common = dict(
+        text_col=cfg["text_col"],
+        target_label=cfg["target_label"],
+        score_col=cfg.get("score_col", "_clf_score"),
+        filter_threshold=cfg.get("filter_threshold", 0.5),
+        top_percentage=cfg.get("top_percentage"),
+        just_add_scores=cfg.get("just_add_scores", False),
+        min_parallelism=cfg.get("min_parallelism"),
+    )
+    if backend == "hermetic":
+        model = load_nb_model(cfg["model_path"])
+        return classifier_filter(spark, df, model, **common)
+    return classifier_filter(
+        spark, df, None, model_path=cfg["model_path"], backend=backend, **common
+    )
+
+
+def _op_embed_texts(spark, cfg, inputs):
+    from open_thoughts_spark.operators.embedding import embed_texts
+
+    kwargs = {
+        k: cfg[k]
+        for k in ("out_col", "dim", "max_chars", "normalize", "model_path", "backend")
+        if k in cfg
+    }
+    return embed_texts(_one(inputs, "embed_texts"), cfg["text_col"], **kwargs)
+
+
 OPERATOR_REGISTRY: dict[str, Callable] = {
     "parquet_source": _op_parquet_source,
     "function": _op_function,
@@ -468,4 +577,7 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "completions_map": _op_completions_map,
     "scrub": _op_scrub,
     "add_constant": _op_add_constant,
+    "train_classifier": _op_train_classifier,
+    "classifier_filter": _op_classifier_filter,
+    "embed_texts": _op_embed_texts,
 }

@@ -544,3 +544,109 @@ def test_completions_n_repeat(spark):
     got = sorted(r["completion"] for r in out.collect())
     # mock backend is deterministic -> copies identical
     assert len(got) == 4 and got[0] == got[1] and got[2] == got[3]
+
+
+def test_dag_train_then_classifier_filter(spark, tmp_path):
+    """The reference's train_fasttext -> fasttext YAML pair: train emits a
+    one-row metadata dataset whose model_path feeds the scoring op through
+    a REAL DAG edge (second input), hermetic NB backend end to end."""
+    from open_thoughts_spark.pipeline.dag import parse_dag, run_dag
+
+    labeled = spark.createDataFrame(
+        [("math proof lemma theorem", "math")] * 5
+        + [("cooking pasta recipe sauce", "other")] * 5,
+        "text string, label string",
+    )
+    labeled.write.parquet(str(tmp_path / "labeled"))
+    docs = spark.createDataFrame(
+        [(1, "lemma theorem proof"), (2, "pasta sauce recipe")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+
+    dag = parse_dag(
+        {
+            "name": "train-score",
+            "operators": [
+                {"id": "labeled", "config": {"type": "parquet_source", "path": "labeled"}},
+                {
+                    "id": "trained",
+                    "config": {
+                        "type": "train_classifier",
+                        "text_col": "text",
+                        "label_col": "label",
+                        "model_out": str(tmp_path / "nb_model.npz"),
+                        "dim": 4096,
+                    },
+                    "input_ids": ["labeled"],
+                },
+                {"id": "docs", "config": {"type": "parquet_source", "path": "docs"}},
+                {
+                    "id": "kept",
+                    "config": {
+                        "type": "classifier_filter",
+                        "text_col": "text",
+                        "target_label": "math",
+                        "filter_threshold": 0.5,
+                    },
+                    "input_ids": ["docs", "trained"],
+                },
+            ],
+            "output_ids": ["kept", "trained"],
+        }
+    )
+    outs = run_dag(spark, dag, base_path=str(tmp_path))
+    meta = outs["trained"].collect()[0]
+    assert meta["model_path"].endswith(".npz")
+    assert meta["n_classes"] == 2
+    kept = outs["kept"].collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["_clf_score"] > 0.5
+
+
+def test_dag_embed_texts_op(spark, tmp_path):
+    from open_thoughts_spark.operators.embedding import embed_kernel
+    from open_thoughts_spark.pipeline.dag import parse_dag, run_dag
+
+    spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "d"))
+    dag = parse_dag(
+        {
+            "name": "embed",
+            "operators": [
+                {"id": "d", "config": {"type": "parquet_source", "path": "d"}},
+                {
+                    "id": "e",
+                    "config": {"type": "embed_texts", "text_col": "text", "dim": 8},
+                },
+            ],
+        }
+    )
+    vec = run_dag(spark, dag, base_path=str(tmp_path))["e"].collect()[0]["embedding"]
+    assert vec == embed_kernel("alpha beta", 8, 512, True).tolist()
+
+
+def test_dag_classifier_filter_config_validation(spark):
+    import pytest
+
+    from open_thoughts_spark.pipeline.dag import DAGParseError, parse_dag
+
+    with pytest.raises(DAGParseError, match="unknown config key"):
+        parse_dag(
+            {
+                "name": "bad",
+                "operators": [
+                    {"id": "s", "config": {"type": "parquet_source", "path": "x"}},
+                    {
+                        "id": "c",
+                        "config": {
+                            "type": "classifier_filter",
+                            "text_col": "text",
+                            "target_label": "t",
+                            "modle_path": "/oops",  # typo'd key
+                        },
+                    },
+                ],
+            }
+        )
