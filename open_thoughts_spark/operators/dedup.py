@@ -425,19 +425,14 @@ def simhash32(
     w = df.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
-    # TF pre-aggregation: identical fingerprints, md5 per DISTINCT word
-    # per doc (see simhash64 for the algebra and the partitioning story)
-    wc = w.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_cnt"))
-    wc = wc.withColumn("_h", F.md5(F.col("_w")))
+    w = w.withColumn("_h", F.md5(F.col("_w")))
     aggs = [
         F.sum(
-            F.when(
-                F.ascii(F.substring(F.col("_h"), j + 1, 1)) % 2 == 1, F.col("_cnt")
-            ).otherwise(-F.col("_cnt"))
+            F.when(F.ascii(F.substring(F.col("_h"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
         ).alias(f"_s{j}")
         for j in range(32)
     ]
-    sums = wc.groupBy(id_col).agg(*aggs)
+    sums = w.groupBy(id_col).agg(*aggs)
     fp = None
     for j in range(32):
         bit = F.when(F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -542,19 +537,9 @@ def simhash64(
     w = df.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
-    # TF pre-aggregation (round 5): every occurrence of a word contributes
-    # the SAME ±1 vector, so summing per occurrence equals counting each
-    # distinct word once and multiplying its lane vector by the count —
-    # bit-identical fingerprints, but the md5 x2 + conv now run per
-    # DISTINCT word per doc instead of per occurrence (~35% fewer on the
-    # bench corpus). Because explode keeps a doc's words in one partition,
-    # the count's map-side partial agg fully collapses duplicates locally;
-    # after the min_parallelism hash-repartition on id both groupBys
-    # satisfy their clustering from that one exchange (plan-tested).
-    wc = w.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_cnt"))
     # one 32-bit chunk per word per half; all 32 bit extractions below are
     # long shift/mask ops on these two columns
-    wc = wc.withColumn(
+    w = w.withColumn(
         "_c0", F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
     ).withColumn(
         "_c1",
@@ -564,23 +549,21 @@ def simhash64(
     )
 
     # Aggregate PACKED lanes, not 64 separate ±1 sums: two 32-bit ones-
-    # counters ride in each summed long (bit j contributes cnt or cnt<<32),
-    # so the HashAggregate carries 33 buffer fields instead of 65 — wide
+    # counters ride in each summed long (bit j contributes 1 or 1<<32), so
+    # the HashAggregate carries 33 buffer fields instead of 65 — wide
     # enough aggregates fall out of whole-stage codegen, and the packed
     # form measured 6x faster at sf0.1 with bit-identical output. The
     # positional sign is recovered as 2*ones - n_words > 0. Lane capacity
-    # 2^32 words/doc before overflow (the count multiply keeps lanes
-    # independent: (b0 + b1<<32)*cnt = b0*cnt + (b1*cnt)<<32 while
-    # totals stay under 2^32).
+    # 2^32 words/doc before overflow.
     def _bit(src: str, j: int) -> Column:
         return F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
 
-    aggs = [F.sum("_cnt").alias("_n")]
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for src, half in (("_c0", "lo"), ("_c1", "hi")):
         for i in range(16):
             packed = _bit(src, 2 * i) + F.shiftleft(_bit(src, 2 * i + 1), 32)
-            aggs.append(F.sum(packed * F.col("_cnt")).alias(f"_{half}p{i}"))
-    sums = wc.groupBy(id_col).agg(*aggs)
+            aggs.append(F.sum(packed).alias(f"_{half}p{i}"))
+    sums = w.groupBy(id_col).agg(*aggs)
     lane_mask = F.lit((1 << 32) - 1)
 
     def _pack(half: str) -> Column:
