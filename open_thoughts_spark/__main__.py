@@ -44,9 +44,20 @@ def main(argv: list[str] | None = None) -> int:
         "committed snapshot and invalidate downstream stages BEFORE running "
         "— the run then resumes at STAGE and recomputes only the suffix",
     )
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run the quality filter as a Structured Streaming job over "
+        "--input (availableNow trigger: drains what's there and stops — "
+        "rerunning picks up only NEW files via the stream checkpoint; a "
+        "live deployment would drop the trigger for continuous micro-"
+        "batches). Writes kept turns to --output/filtered_stream",
+    )
     args = p.parse_args(argv)
     if args.rollback_to and not args.checkpoint_dir:
         p.error("--rollback-to requires --checkpoint-dir")
+    if args.streaming and not args.output:
+        p.error("--streaming requires --output")
 
     from open_thoughts_spark.session import get_spark
     from open_thoughts_spark.pipeline import run_pipeline
@@ -57,6 +68,36 @@ def main(argv: list[str] | None = None) -> int:
         from open_thoughts_spark.fixtures import write_transcripts
 
         write_transcripts(spark, args.input, n_convs=args.generate_fixture, seed=args.seed)
+
+    if args.streaming:
+        from open_thoughts_spark.streaming.pipeline import (
+            read_transcripts_stream,
+            stream_quality_filter,
+        )
+
+        out = f"{args.output}/filtered_stream"
+        ckpt = f"{args.checkpoint_dir or args.output}/_stream_ckpt"
+        q = stream_quality_filter(
+            read_transcripts_stream(spark, args.input),
+            out,
+            ckpt,
+            langid_mode=args.langid_mode,
+        )
+        q.awaitTermination()
+        kept = spark.read.parquet(out).count()
+        elapsed = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "mode": "streaming",
+                    "kept_total": kept,
+                    "elapsed_sec": round(elapsed, 2),
+                    "output": out,
+                    "stream_checkpoint": ckpt,
+                }
+            )
+        )
+        return 0
 
     resumed = []
     if args.checkpoint_dir:

@@ -291,3 +291,12 @@ def test_stream_minhash_verified_matches_batch(spark, tmp_path):
 
     assert stream_confirmed == batch_confirmed
     assert set(stream_confirmed) == {("1", "2"), ("1", "13")}
+
+
+def test_cli_streaming_requires_output():
+    import pytest
+
+    from open_thoughts_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "/nonexistent", "--streaming"])
