@@ -78,6 +78,75 @@ def mock_expand(branch_factor: int = 3) -> ExpandFn:
     return expand
 
 
+def llm_expand(
+    backend: Callable[[pd.Series], pd.Series],
+    branch_factor: int = 3,
+    prompt_template: str = (
+        "Problem: {prompt}\nSteps so far: {path}\n"
+        "Propose next reasoning step #{k}. Reply exactly as:\n"
+        "STEP: <one step>\nSCORE: <confidence 0..1>\nTERMINAL: <yes|no>"
+    ),
+) -> ExpandFn:
+    """Production expansion hook over any completions batch backend — the
+    tree-search counterpart of the classifier/embedding ``model_path``
+    plugs: pass ``completions.openai_compatible_backend(...)`` (optionally
+    rate-limited) and the beam runs against a real LLM; the mock stays the
+    hermetic default.
+
+    One prompt per (node, branch); the whole mapInPandas chunk's prompts
+    go to the backend as ONE batch, so the chunk is the concurrency/rate
+    unit (module docstring economics). Responses parse tolerantly —
+    STEP/SCORE/TERMINAL lines; fallback: first 80 chars as the step,
+    score 0.5, non-terminal — a malformed completion degrades to a
+    low-information branch instead of failing the search.
+    """
+    import re
+
+    step_re = re.compile(r"STEP:\s*(.+)")
+    score_re = re.compile(r"SCORE:\s*([0-9.eE+-]+)")
+    term_re = re.compile(r"TERMINAL:\s*(yes|no)", re.I)
+
+    def expand(chunk: pd.DataFrame) -> pd.DataFrame:
+        metas, prompts = [], []
+        for _, r in chunk.iterrows():
+            for k in range(branch_factor):
+                metas.append(r)
+                prompts.append(
+                    prompt_template.format(
+                        prompt=r["prompt"], path=r["path"] or "(none)", k=k + 1
+                    )
+                )
+        outs = backend(pd.Series(prompts)) if prompts else []
+        rows = []
+        for r, resp in zip(metas, outs):
+            resp = resp or ""
+            m = step_re.search(resp)
+            step = (m.group(1).strip() if m else resp.strip()[:80]) or "(empty)"
+            score = 0.5
+            m = score_re.search(resp)
+            if m:
+                try:
+                    score = min(max(float(m.group(1)), 0.0), 1.0)
+                except ValueError:
+                    pass
+            m = term_re.search(resp)
+            terminal = bool(m and m.group(1).lower() == "yes")
+            rows.append(
+                {
+                    "prompt_id": r["prompt_id"],
+                    "prompt": r["prompt"],
+                    "path": (r["path"] + " -> " + step) if r["path"] else step,
+                    "level": r["level"] + 1,
+                    "score": score,
+                    "is_terminal": terminal,
+                }
+            )
+        cols = ["prompt_id", "prompt", "path", "level", "score", "is_terminal"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return expand
+
+
 def beam_search(
     prompts: DataFrame,
     expand: ExpandFn,

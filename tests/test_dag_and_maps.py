@@ -650,3 +650,75 @@ def test_dag_classifier_filter_config_validation(spark):
                 ],
             }
         )
+
+
+def test_llm_expand_over_completions_backend(spark):
+    """Tree search against a (faked) LLM backend: llm_expand builds one
+    prompt per (node, branch), parses STEP/SCORE/TERMINAL tolerantly, and
+    beam_search runs on it end to end — the production plug for the
+    hermetic mock_expand."""
+    import hashlib as _h
+
+    from open_thoughts_spark.operators.tree_search import (
+        BeamSearchConfig,
+        beam_search,
+        llm_expand,
+    )
+
+    def fake_llm(prompts):
+        import hashlib
+        import pandas as pd
+
+        out = []
+        for p in prompts:
+            h = hashlib.md5(p.encode()).hexdigest()
+            score = int(h[:4], 16) / 0xFFFF
+            term = "yes" if h[-1] in "01" else "no"
+            out.append(
+                f"STEP: move-{h[:5]}\nSCORE: {score:.3f}\nTERMINAL: {term}"
+            )
+        return pd.Series(out, index=prompts.index)
+
+    prompts = spark.createDataFrame(
+        [(1, "prove A"), (2, "prove B")], "prompt_id long, instruction string"
+    )
+    out = beam_search(
+        prompts,
+        llm_expand(fake_llm, branch_factor=2),
+        BeamSearchConfig(beam_width=2, beam_depth=3),
+    )
+    rows = out.collect()
+    assert rows  # beams completed
+    assert {r["prompt_id"] for r in rows} <= {1, 2}
+    for r in rows:
+        assert "move-" in r["path"]
+        assert 0.0 <= r["score"] <= 1.0
+    # determinism: the md5-derived fake makes the whole search replayable
+    rows2 = beam_search(
+        prompts,
+        llm_expand(fake_llm, branch_factor=2),
+        BeamSearchConfig(beam_width=2, beam_depth=3),
+    ).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_llm_expand_malformed_response_degrades():
+    import pandas as pd
+
+    from open_thoughts_spark.operators.tree_search import llm_expand
+
+    def garbage(prompts):
+        return pd.Series(
+            ["no structure at all here", "", "STEP: ok\nSCORE: banana\nTERMINAL: yes"],
+            index=prompts.index,
+        )
+
+    chunk = pd.DataFrame(
+        [{"prompt_id": 1, "prompt": "p", "path": "", "level": 0}]
+    )
+    out = llm_expand(garbage, branch_factor=3)(chunk)
+    assert len(out) == 3
+    assert list(out["score"]) == [0.5, 0.5, 0.5]  # fallbacks
+    assert out["path"][0] == "no structure at all here"
+    assert out["path"][1] == "(empty)"
+    assert out["path"][2] == "ok" and bool(out["is_terminal"][2])
