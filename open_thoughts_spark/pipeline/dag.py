@@ -82,7 +82,38 @@ CONFIG_SPECS: dict[str, ConfigSpec] = {
     "dedup_exact": ConfigSpec({"id_col": str, "text_col": str}),
     "minhash_dedup": ConfigSpec(
         {"id_col": str, "text_col": str},
-        {"min_jaccard": _NUM, "transitive": bool},
+        {
+            "min_jaccard": _NUM,
+            "transitive": bool,
+            "num_perm": int,
+            "shingle_n": int,
+            "bands": int,
+            "rows_per_band": int,
+            "min_parallelism": int,
+        },
+    ),
+    # two inputs: (documents, eval set). mode 'ngram' = exact n-gram
+    # broadcast anti-join; 'fuzzy' = MinHash-LSH near-dup channel
+    "decontaminate": ConfigSpec(
+        {"text_col": str},
+        {
+            "mode": str,
+            "eval_text_col": str,
+            "ngram_n": int,
+            "id_col": str,
+            "eval_id_col": str,
+            "min_jaccard": _NUM,
+        },
+    ),
+    "code_judge": ConfigSpec(
+        {},
+        {
+            "response_col": str,
+            "tests_col": str,
+            "timeout_s": _NUM,
+            "keep_correct_only": bool,
+            "min_parallelism": int,
+        },
     ),
     "truncate": ConfigSpec({"n": int}),
     "completions_map": ConfigSpec(
@@ -444,12 +475,18 @@ def _op_dedup_exact(spark, cfg, inputs):
 def _op_minhash_dedup(spark, cfg, inputs):
     from open_thoughts_spark.operators.dedup import minhash_dedup
 
+    kwargs = {
+        k: cfg[k]
+        for k in ("num_perm", "shingle_n", "bands", "rows_per_band", "min_parallelism")
+        if k in cfg
+    }
     return minhash_dedup(
         _one(inputs, "minhash_dedup"),
         cfg["id_col"],
         cfg["text_col"],
         min_jaccard=cfg.get("min_jaccard", 0.8),
         transitive=cfg.get("transitive", True),
+        **kwargs,
     )
 
 
@@ -485,6 +522,58 @@ def _op_add_constant(spark, cfg, inputs):
     return _one(inputs, "add_constant").withColumn(
         cfg["column"], F.lit(cfg["value"])
     )
+
+
+def _op_decontaminate(spark, cfg, inputs):
+    from open_thoughts_spark.operators import decontaminate as dc
+
+    if len(inputs) != 2:
+        raise DAGParseError(
+            f"decontaminate expects 2 inputs (docs, eval), got {len(inputs)}"
+        )
+    df, eval_df = inputs
+    mode = cfg.get("mode", "ngram")
+    if mode == "ngram":
+        return dc.ngram_decontaminate(
+            df,
+            eval_df,
+            cfg["text_col"],
+            eval_text_col=cfg.get("eval_text_col"),
+            n=cfg.get("ngram_n", 8),
+            id_col=cfg.get("id_col"),
+        )
+    if mode == "fuzzy":
+        for k in ("id_col", "eval_id_col"):
+            if k not in cfg:
+                raise DAGParseError(f"decontaminate mode=fuzzy requires '{k}'")
+        return dc.fuzzy_decontaminate(
+            df,
+            eval_df,
+            cfg["id_col"],
+            cfg["text_col"],
+            cfg["eval_id_col"],
+            eval_text_col=cfg.get("eval_text_col"),
+            min_jaccard=cfg.get("min_jaccard", 0.5),
+        )
+    raise DAGParseError(f"decontaminate: unknown mode '{mode}'")
+
+
+def _op_code_judge(spark, cfg, inputs):
+    from open_thoughts_spark.operators.code_judge import (
+        code_exec_judge,
+        filter_correct_code,
+    )
+
+    df = _one(inputs, "code_judge")
+    kwargs = dict(
+        response_col=cfg.get("response_col", "response"),
+        tests_col=cfg.get("tests_col", "tests"),
+        timeout_s=cfg.get("timeout_s", 4.0),
+        min_parallelism=cfg.get("min_parallelism"),
+    )
+    if cfg.get("keep_correct_only", False):
+        return filter_correct_code(df, **kwargs)
+    return code_exec_judge(df, **kwargs)
 
 
 def _op_train_classifier(spark, cfg, inputs):
@@ -577,6 +666,8 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "completions_map": _op_completions_map,
     "scrub": _op_scrub,
     "add_constant": _op_add_constant,
+    "decontaminate": _op_decontaminate,
+    "code_judge": _op_code_judge,
     "train_classifier": _op_train_classifier,
     "classifier_filter": _op_classifier_filter,
     "embed_texts": _op_embed_texts,

@@ -722,3 +722,67 @@ def test_llm_expand_malformed_response_degrades():
     assert out["path"][0] == "no structure at all here"
     assert out["path"][1] == "(empty)"
     assert out["path"][2] == "ok" and bool(out["is_terminal"][2])
+
+
+def test_dag_decontaminate_and_code_judge_ops(spark, tmp_path):
+    """YAML surface for decontamination (two-input op) and the sandboxed
+    code judge with keep_correct_only rejection sampling."""
+    from open_thoughts_spark.pipeline.dag import parse_dag, run_dag
+
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank",
+             "```python\nimport sys\nprint(int(sys.stdin.read()) * 2)\n```",
+             '{"inputs": ["21"], "outputs": ["42"]}'),
+            (2, "totally clean document with no benchmark overlap anywhere here",
+             "```python\nprint('wrong')\n```",
+             '{"inputs": ["1"], "outputs": ["2"]}'),
+        ],
+        "doc_id long, text string, response string, tests string",
+    ).write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today",)],
+        "question string",
+    ).write.parquet(str(tmp_path / "evals"))
+
+    dag = parse_dag(
+        {
+            "name": "decon-judge",
+            "operators": [
+                {"id": "docs", "config": {"type": "parquet_source", "path": "docs"}},
+                {"id": "evals", "config": {"type": "parquet_source", "path": "evals"}},
+                {
+                    "id": "clean",
+                    "config": {
+                        "type": "decontaminate",
+                        "text_col": "text",
+                        "eval_text_col": "question",
+                        "ngram_n": 5,
+                        "id_col": "doc_id",
+                    },
+                    "input_ids": ["docs", "evals"],
+                },
+                {
+                    "id": "judged",
+                    "config": {"type": "code_judge", "timeout_s": 3.0},
+                    "input_ids": ["clean"],
+                },
+                {
+                    "id": "correct_only",
+                    "config": {
+                        "type": "code_judge",
+                        "keep_correct_only": True,
+                        "timeout_s": 3.0,
+                    },
+                    "input_ids": ["clean"],
+                },
+            ],
+            "output_ids": ["clean", "judged", "correct_only"],
+        }
+    )
+    outs = run_dag(spark, dag, base_path=str(tmp_path))
+    # doc 1 shares the 5-gram "the quick brown fox jumps" with the eval set
+    assert [r["doc_id"] for r in outs["clean"].collect()] == [2]
+    judged = outs["judged"].collect()
+    assert [(r["doc_id"], r["correct"]) for r in judged] == [(2, False)]
+    assert outs["correct_only"].count() == 0  # doc 2's code prints wrong
