@@ -786,3 +786,19 @@ def test_dag_decontaminate_and_code_judge_ops(spark, tmp_path):
     judged = outs["judged"].collect()
     assert [(r["doc_id"], r["correct"]) for r in judged] == [(2, False)]
     assert outs["correct_only"].count() == 0  # doc 2's code prints wrong
+
+
+def test_example_classifier_yaml_runs(spark):
+    """The checked-in classifier curation example must keep parsing and
+    running (train -> metadata-path -> score chain)."""
+    from open_thoughts_spark.pipeline.dag import parse_dag, parse_yaml_config, run_dag
+
+    dag = parse_dag(
+        parse_yaml_config("examples/classifier_curation_pipeline.yaml")
+    )
+    outs = run_dag(spark, dag, base_path="/root/testdata/sf0.001")
+    assert outs["trained"].collect()[0]["n_classes"] == 2
+    scored = outs["final"]
+    assert scored.columns == ["doc_id", "lang", "_clf_score"]
+    vals = [r["_clf_score"] for r in scored.collect()]
+    assert vals and all(0.0 <= v <= 1.0 for v in vals)
