@@ -49,8 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 LINEAGE_SCHEMA = (
     "run_id string, run_seq int, seq int, stage string, stage_hash string, "
     "action string, snapshot_id string, path string, input_rows long, "
-    "output_rows long, wall_ms long, input_fingerprint string, "
-    "config string, ts_ms long"
+    "output_rows long, output_bytes long, wall_ms long, "
+    "input_fingerprint string, config string, ts_ms long"
 )
 
 
@@ -280,6 +280,7 @@ class CheckpointedPipeline:
                         "seq": i,
                         "input_rows": None,  # upstream never ran this run
                         "output_rows": out_rows,
+                        "output_bytes": self._boundary_bytes(h),
                         "wall_ms": int((time.time() - t0) * 1000),
                     }
                 )
@@ -311,11 +312,38 @@ class CheckpointedPipeline:
                 {
                     "snapshot_id": self.manifest["stages"][h].get("snapshot_id"),
                     "output_rows": out_rows,
+                    "output_bytes": self._boundary_bytes(h),
                     "wall_ms": int((time.time() - t0) * 1000),
                 }
             )
         self._append_lineage(run_id, input_fingerprint)
         return df
+
+    def _boundary_bytes(self, h: str) -> int | None:
+        """On-disk size of a boundary's materialized output (the snapshot's
+        own new files in catalog mode; the parquet dir otherwise) — pure
+        filesystem metadata, no Spark job."""
+        entry = self.manifest["stages"].get(h, {})
+        if "snapshot_id" in entry and self.catalog is not None:
+            try:
+                m = self.catalog.manifest(self.table, entry["snapshot_id"])
+            except FileNotFoundError:
+                return None
+            return sum(
+                os.path.getsize(f)
+                for f in m.get("new_files", [])
+                if os.path.exists(f)
+            )
+        if "path" in entry:
+            total = 0
+            for root, _, files in os.walk(entry["path"]):
+                total += sum(
+                    os.path.getsize(os.path.join(root, fn))
+                    for fn in files
+                    if fn.endswith(".parquet")
+                )
+            return total
+        return None
 
     def _append_lineage(self, run_id: str, input_fingerprint: str) -> None:
         by_name = {s.name: s for s in self.stages}
@@ -334,6 +362,7 @@ class CheckpointedPipeline:
                     "path": entry.get("path"),
                     "input_rows": e.get("input_rows"),
                     "output_rows": e.get("output_rows"),
+                    "output_bytes": e.get("output_bytes"),
                     "wall_ms": e.get("wall_ms"),
                     "input_fingerprint": input_fingerprint,
                     "config": _stable_json(by_name[e["stage"]].config),

@@ -178,6 +178,36 @@ class SnapshotCatalog:
             f.write(snap_id)
         os.replace(tmp, self._current_path(table))
 
+    def snapshots_df(self, spark: SparkSession, table: str) -> DataFrame:
+        """The table's snapshot history as a queryable DataFrame — the
+        Iceberg ``table.snapshots`` metadata-table analog: one row per
+        snapshot on the current chain (newest first by ``ts_ms``) with
+        operation, parent, file/new-file counts, and byte sizes (files
+        that expired off disk count 0 bytes). Audit surface for retention
+        and rollback decisions."""
+        rows = []
+        for m in self.history(table):
+            rows.append(
+                (
+                    m["snapshot_id"],
+                    m.get("parent"),
+                    int(m["ts_ms"]),
+                    m.get("operation"),
+                    len(m["files"]),
+                    len(m.get("new_files", [])),
+                    sum(
+                        os.path.getsize(f)
+                        for f in m["files"]
+                        if os.path.exists(f)
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, parent string, ts_ms long, operation string, "
+            "n_files int, n_new_files int, total_bytes long",
+        )
+
     def read(
         self, spark: SparkSession, table: str, snapshot_id: str | None = None
     ) -> DataFrame:

@@ -401,3 +401,34 @@ def test_lineage_lazy_stages_record_null_counts(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["output_rows"] is None and rows[0]["wall_ms"] is None
     assert rows[1]["output_rows"] == 25 and rows[1]["wall_ms"] is not None
+
+
+def test_lineage_records_output_bytes_and_snapshots_df(spark, tmp_path):
+    """Byte sizes land in lineage rows (both dir and catalog modes) and the
+    catalog exposes an Iceberg-snapshots-style metadata DataFrame."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    stages = [Stage("keep_even", lambda d: d.filter(F.col("id") % 2 == 0))]
+    pipe = CheckpointedPipeline(spark, str(tmp_path / "ck1"), stages)
+    pipe.run(spark.range(0, 1000), input_fingerprint="fp")
+    row = pipe.lineage_df().collect()[0]
+    assert row["output_bytes"] and row["output_bytes"] > 0
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pipe2 = CheckpointedPipeline(
+        spark, str(tmp_path / "ck2"), stages, catalog=cat, table="t"
+    )
+    pipe2.run(spark.range(0, 1000), input_fingerprint="fp")
+    row2 = pipe2.lineage_df().collect()[0]
+    assert row2["output_bytes"] and row2["output_bytes"] > 0
+
+    cat.write(spark.range(5), "t", mode="append")
+    snaps = pipe2.catalog.snapshots_df(spark, "t").orderBy(
+        F.desc("ts_ms")
+    ).collect()
+    assert len(snaps) == 2
+    assert snaps[0]["operation"] == "append"
+    assert snaps[0]["parent"] == snaps[1]["snapshot_id"]
+    # append carries parent files forward: file count grows, new_files small
+    assert snaps[0]["n_files"] > snaps[0]["n_new_files"] > 0
+    assert all(s["total_bytes"] > 0 for s in snaps)
