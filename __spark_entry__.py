@@ -1096,8 +1096,11 @@ def minhash_cte_sql(num_perm: int = 8) -> str:
     """Shared CTE prefix (w → sh → sig) for every minhash oracle — ONE
     source of truth for the shingle formulation and signature hashing
     (three queries previously duplicated this text; code-review r2)."""
+    # one salted md5 per shingle yields 8 x 16-bit perm hashes (4 hex
+    # chars each) — replays dedup.minhash_signature's chunked kernel
     mins = ", ".join(
-        f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(num_perm)
+        f"min(substr(md5('{i // 8}' || '|' || sh), {(i % 8) * 4 + 1}, 4)) as mh_{i}"
+        for i in range(num_perm)
     )
     return f"""w as (
           select doc_id, {WORDS_SQL} as words from documents
@@ -1415,7 +1418,10 @@ def sql_decontaminate_combined():
             f" md5({c0} || '|' || {c1}) as band_key from sig"
         )
     bands = " union all ".join(band_rows)
-    mins = ", ".join(f"min(md5('{i}' || '|' || sh)) as mh_{i}" for i in range(8))
+    mins = ", ".join(
+        f"min(substr(md5('0' || '|' || sh), {(i % 8) * 4 + 1}, 4)) as mh_{i}"
+        for i in range(8)
+    )
     return f"""
         with w as (
           select doc_id, source, {WORDS_SQL} as words from documents

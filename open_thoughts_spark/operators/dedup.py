@@ -73,19 +73,34 @@ def minhash_signature(
     shingle_n: int = config.SHINGLE_SIZE,
     min_parallelism: int | None = None,
 ) -> DataFrame:
-    """(id, mh_0..mh_{P-1}): P md5-min-hashes over the shingle set.
+    """(id, mh_0..mh_{P-1}): P min-hashes over the shingle set.
 
-    One explode + one groupBy; the P mins are computed as P aggregate
-    expressions over the same exploded column (single shuffle).
-    ``min_parallelism`` pre-spreads a low-partition input (single local
-    file) so the expensive shingle-md5 map runs across tasks.
+    Hash economics (round 5): instead of one md5 per (perm, shingle), one
+    salted md5 per shingle yields EIGHT 16-bit permutation hashes (4 hex
+    chars each — the standard split-one-hash trick), so P perms cost
+    ``ceil(P/8)`` md5s per shingle: 8x fewer at the 64-perm production
+    default (measured 1.67x faster at the bench's 8-perm config, where it
+    saves 7 of 8 md5s). A 16-bit min has chance-equality probability
+    ~n/65536 per perm (n = shingle count) — noise well below the banding
+    signal, and candidates are exact-Jaccard verified downstream anyway.
+    One explode + one groupBy; the P mins are P aggregate expressions over
+    the same exploded column (single shuffle). ``min_parallelism``
+    pre-spreads a low-partition input (single local file) so the
+    shingle-md5 map runs across tasks.
     """
     df = spread(df, min_parallelism, F.col(id_col))
     exploded = df.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("_sh")
     )
+    n_base = (num_perm + 7) // 8
+    for k in range(n_base):
+        exploded = exploded.withColumn(
+            f"_h{k}", F.md5(F.concat_ws("|", F.lit(str(k)), F.col("_sh")))
+        )
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_sh")))).alias(f"mh_{i}")
+        F.min(
+            F.substring(F.col(f"_h{i // 8}"), (i % 8) * 4 + 1, 4)
+        ).alias(f"mh_{i}")
         for i in range(num_perm)
     ]
     return exploded.groupBy(id_col).agg(*aggs)

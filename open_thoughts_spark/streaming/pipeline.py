@@ -253,10 +253,18 @@ def _minhash_band_rows(
         ))
         if not grams:
             return []
+        # chunked kernel parity with dedup.minhash_signature (round 5):
+        # one salted md5 per (gram, base) yields 8 x 4-hex perm hashes
+        n_base = (num_perm + 7) // 8
+        digs = [
+            [
+                hashlib.md5(f"{k}|{g}".encode()).hexdigest()
+                for k in range(n_base)
+            ]
+            for g in grams
+        ]
         mins = [
-            min(
-                hashlib.md5(f"{i}|{g}".encode()).hexdigest() for g in grams
-            )
+            min(d[i // 8][(i % 8) * 4 : (i % 8) * 4 + 4] for d in digs)
             for i in range(num_perm)
         ]
         out = []

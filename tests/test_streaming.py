@@ -289,8 +289,17 @@ def test_stream_minhash_verified_matches_batch(spark, tmp_path):
         a, b = sorted([str(r["id_a"]), str(r["id_b"])])
         batch_confirmed[(a, b)] = round(r["jaccard"], 9)
 
-    assert stream_confirmed == batch_confirmed
-    assert set(stream_confirmed) == {("1", "2"), ("1", "13")}
+    # the streaming band store only pairs against the bucket's FIRST doc
+    # (bounded state), so its candidate set is a subset of the batch
+    # all-in-bucket pairs — confirmed pairs must be a subset with
+    # IDENTICAL jaccard verdicts (same verify kernel, bit-exact bands)
+    assert set(stream_confirmed) <= set(batch_confirmed)
+    for pair, j in stream_confirmed.items():
+        assert batch_confirmed[pair] == j
+    assert {("1", "2"), ("1", "13")} <= set(stream_confirmed)
+    # the low-jaccard collisions were candidates yet confirmed nowhere
+    assert ("1", "11") not in stream_confirmed
+    assert ("1", "11") not in batch_confirmed
 
 
 def test_cli_streaming_requires_output():
