@@ -281,3 +281,30 @@ def test_code_judge_map_is_single_pass(spark):
     plan = plan_of(code_exec_judge(df))
     assert "MapInPandas" in plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_minhash_signature_single_shuffle(spark, tmp_path):
+    """The chunked signature kernel (round 5) must keep the one-shuffle
+    shape: scan -> shingle explode + salted md5 projections -> partial
+    min-agg -> ONE exchange -> final agg. A second exchange would mean the
+    chunk projections broke partial aggregation."""
+    from open_thoughts_spark.operators import dedup
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"some words here number {i} and more filler text") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    sig = dedup.minhash_signature(
+        spark.read.parquet(p), "doc_id", "text", num_perm=8, shingle_n=3
+    )
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # 64-perm production default still pays exactly one shuffle and only
+    # ceil(64/8)=8 md5 projections
+    sig64 = dedup.minhash_signature(
+        spark.read.parquet(p), "doc_id", "text", num_perm=64, shingle_n=3
+    )
+    plan64 = sig64._jdf.queryExecution().executedPlan().toString()
+    assert plan64.count("Exchange") == 1, plan64
+    assert plan64.count("md5") <= 8 * 2 + 2  # partial+final projections, slack
