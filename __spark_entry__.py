@@ -3274,6 +3274,80 @@ SQL_PIPELINE_LINEAGE = """
 """
 
 
+def q_frequent_ngrams(spark, sf_dir):
+    """Corpus-frequent 3-grams (doc frequency >= 5): the frequency pass of
+    the ExactSubstr-style boilerplate scrub — the Zipf head a crawl
+    pipeline strips (headers, banners, license blurbs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.frequent_ngrams(
+        docs, "doc_id", "text", n=3, min_docs=5, min_parallelism=32
+    )
+
+
+SQL_FREQUENT_NGRAMS = f"""
+    with w as (
+      select doc_id, {WORDS_SQL} as words from documents
+    ), pose as (
+      select doc_id, unnest(list_distinct([
+        array_to_string(words[i:i+2], ' ')
+        for i in range(1, greatest(len(words) - 2, 0) + 1)
+      ])) as gram
+      from w
+    )
+    select gram, count(*) as doc_freq
+    from pose group by gram having count(*) >= 5
+"""
+
+
+def q_scrub_frequent_ngrams(spark, sf_dir):
+    """Corpus-level duplicate-substring removal: delete every occurrence
+    of any 3-gram shared by >= 3 distinct documents, rebuild the text from
+    the surviving words (Lee et al. "Deduplicating Training Data"
+    ExactSubstr at word-gram granularity — removes boilerplate *inside*
+    rows where minhash drops whole rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.scrub_frequent_ngrams(
+        docs, "doc_id", "text", n=3, min_docs=3, min_parallelism=32
+    )
+    return out.select(
+        "doc_id",
+        "scrubbed_text",
+        "n_removed",
+        F.md5(F.col("scrubbed_text")).alias("scrub_md5"),
+    )
+
+
+SQL_SCRUB_FREQUENT_NGRAMS = f"""
+    with w as (
+      select doc_id, {WORDS_SQL} as words from documents
+    ), pose as (
+      select doc_id, i as p0,
+        array_to_string(words[i:i+2], ' ') as gram
+      from w, unnest(range(1, greatest(len(words) - 2, 0) + 1)) as t(i)
+    ), freq as (
+      select gram from pose group by gram
+      having count(distinct doc_id) >= 3
+    ), cov as (
+      select p.doc_id, list(distinct p.p0 + k.k) as cps
+      from pose p
+      join freq f on f.gram = p.gram
+      cross join (select unnest([0, 1, 2]) as k) k
+      group by p.doc_id
+    ), final as (
+      select w.doc_id, w.words, coalesce(c.cps, []) as cps,
+        [w.words[i] for i in range(1, len(w.words) + 1)
+         if not list_contains(coalesce(c.cps, []), i)] as kept
+      from w left join cov c on c.doc_id = w.doc_id
+    )
+    select doc_id,
+      -- array_to_string([]) is NULL in DuckDB; Spark's array_join gives ''
+      coalesce(array_to_string(kept, ' '), '') as scrubbed_text,
+      cast(len(words) - len(kept) as int) as n_removed,
+      md5(coalesce(array_to_string(kept, ' '), '')) as scrub_md5
+    from final
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing": q_tpch_q1,
@@ -3360,6 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "verify_mix_sharegpt": q_verify_mix,
         "pipeline_lineage": q_pipeline_lineage,
+        "docs_frequent_ngrams": q_frequent_ngrams,
+        "dedup_scrub_frequent_ngrams": q_scrub_frequent_ngrams,
     }
 
 
@@ -3449,4 +3525,6 @@ def oracle_sql() -> dict[str, str]:
         "tree_search_beam": sql_tree_search_beam(),
         "embed_docs_knn": SQL_EMBED_KNN,
         "classifier_lang_filter": SQL_CLASSIFIER_FILTER,
+        "docs_frequent_ngrams": SQL_FREQUENT_NGRAMS,
+        "dedup_scrub_frequent_ngrams": SQL_SCRUB_FREQUENT_NGRAMS,
     }

@@ -743,3 +743,122 @@ def weighted_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard_w") >= min_jaccard)
     return out.select("id_a", "id_b", "common_w", "size_a", "size_b", "jaccard_w")
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """(gram, doc_freq): word n-grams present in >= ``min_docs`` DISTINCT
+    documents.
+
+    Document frequency, not occurrence count: the per-document shingle set
+    from :func:`shingles_expr` is already distinct, so a plain count after
+    the explode IS the df — one explode + one groupBy, no count-distinct
+    re-shuffle. At web scale the output is the head of a Zipf curve: tiny
+    relative to the corpus for any useful threshold.
+    """
+    df = spread(df, min_parallelism, F.col(id_col))
+    grams = df.select(
+        F.explode(shingles_expr(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def scrub_frequent_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    out_col: str = "scrubbed_text",
+    removed_col: str = "n_removed",
+    grams: DataFrame | None = None,
+    broadcast_grams: bool = True,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Corpus-level duplicate-substring removal (the Lee et al.
+    "Deduplicating Training Data" ExactSubstr idea re-expressed at word
+    n-gram granularity): every occurrence of a word n-gram that appears in
+    >= ``min_docs`` distinct documents is deleted from every document, and
+    the text is rebuilt from the surviving words (original order, single
+    spaces). The reference's fuzzy dedup drops whole rows; this removes the
+    boilerplate *inside* rows — the op RefinedWeb/C4-style pipelines apply
+    to strip headers, cookie banners and license blurbs that repeat across
+    a crawl.
+
+    Plan shape (scale notes):
+    - frequency pass: explode distinct shingles -> groupBy(gram) — one
+      shuffle keyed on the gram;
+    - occurrence pass: posexplode non-distinct shingles -> join the
+      frequent set (broadcast by default: the Zipf head is small; pass
+      ``broadcast_grams=False`` to let AQE pick when the threshold is so
+      low the set is corpus-sized) -> explode each hit into its n covered
+      1-based word positions -> collect_set per doc;
+    - rebuild: one left join of the original frame to the covered-position
+      sets, then a per-row array filter (words zipped with positions) —
+      no further shuffle, text never leaves the row.
+
+    Output: the input frame + ``out_col`` (rebuilt text) + ``removed_col``
+    (words removed, int). Documents with no frequent n-gram pass through
+    verbatim (modulo whitespace normalization of the rebuild: the words
+    are ``words_expr`` tokens, lowercased and split on runs of
+    whitespace).
+    """
+    df = spread(df, min_parallelism, F.col(id_col))
+    if grams is None:
+        grams = frequent_ngrams(df, id_col, text_col, n=n, min_docs=min_docs)
+    gset = grams.select("gram")
+    if broadcast_grams:
+        gset = F.broadcast(gset)
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            shingles_expr(F.col(text_col), n, distinct=False)
+        ).alias("_p0", "gram"),
+    )
+    # the gram starting at 0-based _p0 covers 1-based word positions
+    # _p0+1 .. _p0+n
+    cov = (
+        pos.join(gset, on="gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_p0") + 1, F.col("_p0") + n)
+            ).alias("_cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_cp").alias("_cov"))
+    )
+    w = words_expr(F.col(text_col))
+    zipped = F.arrays_zip(
+        F.col("_w").alias("w"),
+        F.sequence(F.lit(1), F.size(F.col("_w"))).alias("p"),
+    )
+    kept = F.filter(
+        F.col("_z"), lambda x: ~F.array_contains(F.col("_cov"), x["p"])
+    )
+    return (
+        df.join(cov, on=id_col, how="left")
+        .withColumn("_w", w)
+        .withColumn(
+            "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+        )
+        .withColumn("_z", zipped)
+        .withColumn("_kept", kept)
+        .withColumn(
+            out_col, F.array_join(F.transform(F.col("_kept"), lambda x: x["w"]), " ")
+        )
+        .withColumn(
+            removed_col, (F.size(F.col("_w")) - F.size(F.col("_kept"))).cast("int")
+        )
+        .drop("_w", "_cov", "_z", "_kept")
+    )

@@ -384,3 +384,97 @@ def test_resize_images_plumbing(spark):
     again = {r["media_id"]: bytes(r["payload"])
              for r in resize_images(media, width=8, height=6).collect()}
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
+
+
+def _py_scrub_frequent(rows, n=3, min_docs=2):
+    """Pure-python oracle for scrub_frequent_ngrams (same tokenization:
+    lowercase, split on whitespace runs; doc-frequency over distinct
+    per-doc grams; union of covered 1-based positions; rebuild)."""
+    import re
+
+    toks = {i: re.split(r"[ \t\n\x0b\f\r]+", t.strip().lower()) for i, t in rows}
+    grams = {
+        i: [" ".join(w[p : p + n]) for p in range(len(w) - n + 1)]
+        for i, w in toks.items()
+    }
+    df_count = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_count[g] = df_count.get(g, 0) + 1
+    frequent = {g for g, c in df_count.items() if c >= min_docs}
+    out = {}
+    for i, w in toks.items():
+        cov = set()
+        for p0, g in enumerate(grams[i]):
+            if g in frequent:
+                cov.update(range(p0 + 1, p0 + n + 1))
+        kept = [wd for j, wd in enumerate(w, start=1) if j not in cov]
+        out[i] = (" ".join(kept), len(w) - len(kept))
+    return out, frequent
+
+
+def test_scrub_frequent_ngrams_known(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "x a b c y"),
+        (3, "p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in dedup.scrub_frequent_ngrams(
+            df, "id", "text", n=3, min_docs=2
+        ).collect()
+    }
+    # "a b c" is in docs 1 and 2 -> scrubbed everywhere; doc 3 untouched
+    assert out[1]["scrubbed_text"] == "d e" and out[1]["n_removed"] == 3
+    assert out[2]["scrubbed_text"] == "x y" and out[2]["n_removed"] == 3
+    assert out[3]["scrubbed_text"] == "p q r s t" and out[3]["n_removed"] == 0
+    # original columns survive
+    assert out[1]["text"] == "a b c d e"
+
+
+def test_scrub_frequent_ngrams_overlapping_coverage(spark):
+    # overlapping frequent grams union their covered positions (no
+    # double-count, no gap): "a b c" and "b c d" both frequent
+    rows = [(1, "z a b c d z"), (2, "a b c d"), (3, "q a b c d")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in dedup.scrub_frequent_ngrams(
+            df, "id", "text", n=3, min_docs=3
+        ).collect()
+    }
+    py, _ = _py_scrub_frequent(rows, n=3, min_docs=3)
+    for i, (txt, nrm) in py.items():
+        assert out[i]["scrubbed_text"] == txt
+        assert out[i]["n_removed"] == nrm
+    assert out[1]["scrubbed_text"] == "z z"
+
+
+def test_scrub_frequent_ngrams_matches_python_oracle(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 18))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    for n, min_docs in ((2, 5), (3, 4), (1, 12)):
+        out = {
+            r["id"]: (r["scrubbed_text"], r["n_removed"])
+            for r in dedup.scrub_frequent_ngrams(
+                df, "id", "text", n=n, min_docs=min_docs
+            ).collect()
+        }
+        py, frequent = _py_scrub_frequent(rows, n=n, min_docs=min_docs)
+        assert out == py
+        got_grams = {
+            r["gram"]: r["doc_freq"]
+            for r in dedup.frequent_ngrams(
+                df, "id", "text", n=n, min_docs=min_docs
+            ).collect()
+        }
+        assert set(got_grams) == frequent
