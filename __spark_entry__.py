@@ -1175,6 +1175,61 @@ def sql_minhash_pairs():
     """
 
 
+def q_minhash_bucket_cap(spark, sf_dir):
+    """LSH candidate pairs under the degenerate-bucket skew guard
+    (dedup.cap_band_buckets): band buckets holding more than 2 ids are
+    dropped before the self-join, so one hot band value (boilerplate / empty
+    text at web scale) can never go quadratic. The oracle recomputes bucket
+    sizes in SQL and keeps only pairs whose shared bucket survived the cap —
+    proving the window-count guard drops exactly the over-cap buckets and
+    nothing else (at sf0.01 the cap prunes the four size-3 buckets, so the
+    result provably differs from the uncapped q_minhash_pairs candidates)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        docs, "doc_id", "text", num_perm=8, shingle_n=3, min_parallelism=32
+    )
+    bands = dedup.lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
+    return dedup.candidate_pairs(bands, "doc_id", max_bucket_size=2)
+
+
+def sql_minhash_bucket_cap():
+    return f"""
+        with {minhash_cte_sql()}, bands as ({band_rows_sql()}),
+        kept as (
+          select doc_id, band_idx, band_key from (
+            select doc_id, band_idx, band_key,
+              count(*) over (partition by band_idx, band_key) as bucket_n
+            from bands
+          ) where bucket_n <= 2
+        )
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from kept a join kept b
+          on a.band_idx = b.band_idx and a.band_key = b.band_key
+         and a.doc_id < b.doc_id
+    """
+
+
+def q_oversize_buckets(spark, sf_dir):
+    """The audit side of the skew guard: which band buckets would a cap of 2
+    drop, and how many ids sit in each — what an operator inspects before
+    choosing the threshold at 100 TB (partial-agg count; hot keys combine
+    map-side and never concentrate on one task)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        docs, "doc_id", "text", num_perm=8, shingle_n=3, min_parallelism=32
+    )
+    bands = dedup.lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
+    return dedup.oversize_band_buckets(bands, max_bucket_size=2)
+
+
+def sql_oversize_buckets():
+    return f"""
+        with {minhash_cte_sql()}, bands as ({band_rows_sql()})
+        select band_idx, band_key, count(*) as bucket_n
+        from bands group by 1, 2 having count(*) > 2
+    """
+
+
 def q_minhash_dedup_kept(spark, sf_dir):
     """The COMPLETE fuzzy-dedup operator end to end: signatures → LSH
     candidates → Jaccard verify (>= 0.2) → transitive closure → keep
@@ -3379,6 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keyfirst": q_dedup_keyfirst,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_minhash_bucket_cap": q_minhash_bucket_cap,
+        "dedup_oversize_buckets": q_oversize_buckets,
         "dedup_minhash_kept": q_minhash_dedup_kept,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3470,6 +3527,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_keyfirst": SQL_DEDUP_KEYFIRST,
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_pairs": sql_minhash_pairs(),
+        "dedup_minhash_bucket_cap": sql_minhash_bucket_cap(),
+        "dedup_oversize_buckets": sql_oversize_buckets(),
         "dedup_minhash_kept": sql_minhash_dedup_kept(),
         "dedup_simhash": sql_simhash(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),

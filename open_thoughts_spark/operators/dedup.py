@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from open_thoughts_spark.spread import spread
 
@@ -127,15 +128,66 @@ def lsh_bands(
     ).select(id_col, F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key"))
 
 
+def cap_band_buckets(
+    bands_df: DataFrame,
+    max_bucket_size: int,
+    key_cols: tuple[str, ...] = ("band_idx", "band_key"),
+) -> DataFrame:
+    """Drop every band bucket holding more than ``max_bucket_size`` rows.
+
+    The skew guard for LSH band self-joins: one degenerate band value (empty
+    texts, a boilerplate page repeated 10^7 times, the all-zero sign
+    pattern) makes that bucket's self-join quadratic — 10^7 rows in one
+    bucket is 5*10^13 candidate pairs on a single join key, a straggler no
+    cluster width fixes. Capping trades bounded recall for a linear bound:
+    a pair can still surface through any OTHER band it collides in, and at
+    web scale an over-cap bucket is near-always a degenerate key, not real
+    near-duplicate signal (the docs inside it are better handled by exact
+    dedup on the normalized text). Audit what a cap would drop with
+    :func:`oversize_band_buckets` before choosing the threshold.
+
+    Single window count over the band-key hash partitioning — the same key
+    the downstream self-join shuffles on.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    return (
+        bands_df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
+
+
+def oversize_band_buckets(
+    bands_df: DataFrame,
+    max_bucket_size: int,
+    key_cols: tuple[str, ...] = ("band_idx", "band_key"),
+) -> DataFrame:
+    """(key_cols..., bucket_n) for every bucket a cap of ``max_bucket_size``
+    would drop — the audit side of :func:`cap_band_buckets` (partial-agg
+    count, so the hot keys never concentrate on one task)."""
+    return (
+        bands_df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+
+
 def candidate_pairs(
-    bands_df: DataFrame, id_col: str, materialize: bool = True
+    bands_df: DataFrame,
+    id_col: str,
+    materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs colliding in at least one band.
 
     ``materialize`` lazily checkpoints the band table so the self-join's
-    two sides don't each recompute the whole signature lineage."""
+    two sides don't each recompute the whole signature lineage.
+    ``max_bucket_size`` drops degenerate band buckets before the self-join
+    (:func:`cap_band_buckets` — the web-scale skew guard)."""
     if materialize:
         bands_df = bands_df.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        bands_df = cap_band_buckets(bands_df, max_bucket_size)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -298,6 +350,7 @@ def minhash_dedup(
     bands: int | None = None,
     rows_per_band: int | None = None,
     min_parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Drop every row whose duplicate component has a smaller id.
 
@@ -328,7 +381,9 @@ def minhash_dedup(
         min_parallelism=min_parallelism,
     )
     cands = candidate_pairs(
-        lsh_bands(sig, id_col, bands=bands, rows_per_band=rows_per_band), id_col
+        lsh_bands(sig, id_col, bands=bands, rows_per_band=rows_per_band),
+        id_col,
+        max_bucket_size=max_bucket_size,
     )
     verified = jaccard_pairs(
         df, id_col, text_col, shingle_n, min_jaccard, pairs=cands,
@@ -467,6 +522,7 @@ def simhash_neardup_pairs(
     bands: int = 4,
     bits: int = 32,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming <= max_hamming, blocked by
     fingerprint band values — the Manku/Jain/Sarma pigeonhole sharding
@@ -495,6 +551,12 @@ def simhash_neardup_pairs(
     banded = fp.select(
         F.col(id_col), F.col(fp_col), F.explode(F.array(*pieces)).alias("_b")
     ).select(id_col, fp_col, "_b.band_idx", "_b.band_val")
+    if max_bucket_size is not None:
+        # trades the pigeonhole's zero-recall-loss guarantee for a linear
+        # bound on degenerate band values (see cap_band_buckets)
+        banded = cap_band_buckets(
+            banded, max_bucket_size, key_cols=("band_idx", "band_val")
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"),
         "band_idx", "band_val",
@@ -609,6 +671,7 @@ def simhash64_neardup_pairs(
     lo_col: str = "simhash_lo",
     max_hamming: int = 3,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming <= max_hamming over the
     64-bit fingerprint, blocked by 4 x 16-bit band values.
@@ -647,6 +710,12 @@ def simhash64_neardup_pairs(
         F.col(id_col), F.col(hi_col), F.col(lo_col),
         F.explode(F.array(*pieces)).alias("_b"),
     ).select(id_col, hi_col, lo_col, "_b.band_idx", "_b.band_val")
+    if max_bucket_size is not None:
+        # trades the pigeonhole's zero-recall-loss guarantee for a linear
+        # bound on degenerate band values (see cap_band_buckets)
+        banded = cap_band_buckets(
+            banded, max_bucket_size, key_cols=("band_idx", "band_val")
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hi_col).alias("_ha"),
         F.col(lo_col).alias("_la"), "band_idx", "band_val",

@@ -189,6 +189,7 @@ def cosine_pairs_banded(
     n_planes: int | str = 48,
     bands: int = 8,
     min_parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold, candidate-blocked
     by BANDED random-hyperplane LSH: a pair is a candidate iff it agrees on
@@ -227,6 +228,15 @@ def cosine_pairs_banded(
         as_double(F.col(vec_col)).alias("_v"),
         F.explode(F.array(*pieces)).alias("_b"),
     ).select(id_col, "_v", "_b.band_idx", "_b.band_val")
+    if max_bucket_size is not None:
+        # skew guard: one degenerate sign pattern (e.g. the zero vector's
+        # all-positive band) would otherwise self-join quadratically; see
+        # dedup.cap_band_buckets for the trade
+        from open_thoughts_spark.operators.dedup import cap_band_buckets
+
+        banded = cap_band_buckets(
+            banded, max_bucket_size, key_cols=("band_idx", "band_val")
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
         "band_idx", "band_val",

@@ -478,3 +478,88 @@ def test_scrub_frequent_ngrams_matches_python_oracle(spark):
             ).collect()
         }
         assert set(got_grams) == frequent
+
+
+# --- LSH degenerate-bucket skew guard ---
+
+def test_cap_band_buckets_drops_only_oversize(spark):
+    """The window-count guard keeps every bucket at or under the cap intact
+    and removes over-cap buckets whole; the audit frame reports exactly the
+    dropped buckets with their sizes."""
+    bands = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(4)]
+        + [(10, 0, "warm"), (11, 0, "warm"), (12, 1, "solo")],
+        "doc_id int, band_idx int, band_key string",
+    )
+    kept = dedup.cap_band_buckets(bands, 2)
+    got = sorted((r["band_idx"], r["band_key"], r["doc_id"]) for r in kept.collect())
+    assert got == [(0, "warm", 10), (0, "warm", 11), (1, "solo", 12)]
+    audit = dedup.oversize_band_buckets(bands, 2).collect()
+    assert [(r["band_idx"], r["band_key"], r["bucket_n"]) for r in audit] == [
+        (0, "hot", 4)
+    ]
+    # cap above the max bucket: nothing dropped, audit empty
+    assert dedup.cap_band_buckets(bands, 4).count() == bands.count()
+    assert dedup.oversize_band_buckets(bands, 4).count() == 0
+
+
+def test_candidate_pairs_cap_keeps_other_band_collisions(spark):
+    """A pair colliding in BOTH a dropped hot bucket and a surviving small
+    bucket must still surface (the OR-over-bands semantics are preserved);
+    pairs whose only collision is the hot bucket vanish."""
+    rows = [
+        (1, 0, "hot"), (2, 0, "hot"), (3, 0, "hot"), (4, 0, "hot"),
+        (1, 1, "ab"), (2, 1, "ab"),
+    ]
+    bands = spark.createDataFrame(rows, "doc_id int, band_idx int, band_key string")
+    uncapped = sorted(
+        (r["id_a"], r["id_b"]) for r in dedup.candidate_pairs(bands, "doc_id").collect()
+    )
+    assert (1, 3) in uncapped and (3, 4) in uncapped
+    capped = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.candidate_pairs(bands, "doc_id", max_bucket_size=3).collect()
+    )
+    assert capped == [(1, 2)]
+
+
+def test_simhash64_bucket_cap_bounds(spark):
+    """cap=1 kills every pair (a collision needs a bucket of >= 2); a cap
+    above the largest bucket reproduces the uncapped result exactly."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base.replace("river", w)) for i, w in
+            enumerate(["river", "creek", "stream", "river"])]
+    df = spark.createDataFrame(rows, "id int, text string")
+    fp = dedup.simhash64(df, "id", "text").cache()
+    uncapped = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash64_neardup_pairs(fp, "id").collect()
+    )
+    assert uncapped  # fixture really produces near-dup pairs
+    assert dedup.simhash64_neardup_pairs(fp, "id", max_bucket_size=1).count() == 0
+    big = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash64_neardup_pairs(
+            fp, "id", max_bucket_size=1000
+        ).collect()
+    )
+    assert big == uncapped
+    fp32 = dedup.simhash32(df, "id", "text").cache()
+    assert dedup.simhash_neardup_pairs(fp32, "id", max_bucket_size=1).count() == 0
+
+
+def test_cosine_banded_bucket_cap(spark):
+    """Identical vectors pair up uncapped; cap=1 suppresses the pair."""
+    v = [1.0, 0.0, 2.0, -1.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v)], "vec_id long, embedding array<double>"
+    )
+    assert (
+        similarity.cosine_pairs_banded(df, "vec_id", "embedding", 0.9).count() == 1
+    )
+    assert (
+        similarity.cosine_pairs_banded(
+            df, "vec_id", "embedding", 0.9, max_bucket_size=1
+        ).count()
+        == 0
+    )
