@@ -90,6 +90,9 @@ CONFIG_SPECS: dict[str, ConfigSpec] = {
             "bands": int,
             "rows_per_band": int,
             "min_parallelism": int,
+            # degenerate-bucket skew guard: drop LSH band buckets holding
+            # more than this many ids before the candidate self-join
+            "max_bucket_size": int,
         },
     ),
     # two inputs: (documents, eval set). mode 'ngram' = exact n-gram
@@ -477,7 +480,14 @@ def _op_minhash_dedup(spark, cfg, inputs):
 
     kwargs = {
         k: cfg[k]
-        for k in ("num_perm", "shingle_n", "bands", "rows_per_band", "min_parallelism")
+        for k in (
+            "num_perm",
+            "shingle_n",
+            "bands",
+            "rows_per_band",
+            "min_parallelism",
+            "max_bucket_size",
+        )
         if k in cfg
     }
     return minhash_dedup(

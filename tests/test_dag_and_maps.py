@@ -802,3 +802,49 @@ def test_example_classifier_yaml_runs(spark):
     assert scored.columns == ["doc_id", "lang", "_clf_score"]
     vals = [r["_clf_score"] for r in scored.collect()]
     assert vals and all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_minhash_dedup_dag_accepts_bucket_cap(spark):
+    """max_bucket_size must parse as a minhash_dedup config key and thread
+    through to candidate_pairs: cap=0 drops every bucket, so no candidate
+    pairs form and dedup keeps all rows even for exact duplicate texts."""
+    from open_thoughts_spark.pipeline.dag import DAGParseError, parse_dag, run_dag
+
+    def cfg(cap):
+        return {
+            "name": "t",
+            "operators": [
+                {
+                    "id": "src",
+                    "config": {
+                        "type": "parquet_source",
+                        "path": "documents.parquet",
+                    },
+                },
+                {
+                    "id": "dd",
+                    "input_ids": ["src"],
+                    "config": {
+                        "type": "minhash_dedup",
+                        "id_col": "doc_id",
+                        "text_col": "text",
+                        "min_jaccard": 0.2,
+                        "num_perm": 8,
+                        "bands": 4,
+                        **cap,
+                    },
+                },
+            ],
+        }
+
+    base = "/root/testdata/sf0.001"
+    n_src = run_dag(spark, parse_dag(cfg({})), base_path=base)["dd"].count()
+    capped = run_dag(
+        spark, parse_dag(cfg({"max_bucket_size": 0})), base_path=base
+    )["dd"]
+    n_all = capped.count()
+    assert n_all >= n_src  # cap=0: no buckets survive -> nothing dropped
+    import pytest as _pytest
+
+    with _pytest.raises(DAGParseError):
+        parse_dag(cfg({"max_bucket_size": "two"}))
