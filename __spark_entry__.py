@@ -1646,6 +1646,42 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget domain mixing (relational.sample_to_token_budget): each
+    lang downsampled to an expected 4000 whitespace tokens — at sf0.01 that
+    cuts 'en' (~11.8k tokens) to ~34% keep probability, trims 'zh' (~4.1k)
+    marginally, and passes the under-budget langs through whole. The keep
+    decision is the md5-uniform-vs-trunc(prob*2^32) integer compare, so the
+    oracle replays every row exactly (trunc, not cast — DuckDB cast
+    rounds)."""
+    from open_thoughts_spark.functions.text_stats import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.withColumn(
+        "ws_tokens", ws_token_count(F.col("text")).cast("long")
+    )
+    out = relational.sample_to_token_budget(
+        counted, "lang", "ws_tokens", 4000, ["doc_id"]
+    )
+    return out.select("doc_id", "lang", "ws_tokens")
+
+
+def sql_sample_token_budget():
+    wc = duck_sql.word_count_sql("text")
+    return f"""
+        with t as (
+          select doc_id, lang, ({wc})::bigint as ws_tokens from documents
+        ), tot as (
+          select lang, sum(ws_tokens) as domain_tokens from t group by 1
+        )
+        select t.doc_id, t.lang, t.ws_tokens
+        from t join tot on t.lang = tot.lang
+        where ('0x' || substr(md5('tokbudget' || '|' || t.doc_id::varchar), 1, 8))::bigint
+          < trunc(least(1.0, 4000.0 / greatest(tot.domain_tokens, 1)::double)
+                  * 4294967296.0)::bigint
+    """
+
+
 def q_weighted_mix(spark, sf_dir):
     """Training-mixture weighting: sources sampled at different fractions
     (hash-threshold deterministic — layout-independent), unioned, counted
@@ -3446,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_url_classify": q_map_url_classify,
         "map_extract_qa": q_map_extract_qa,
         "sample_stratified_by_lang": q_stratified_sample,
+        "sample_token_budget": q_sample_token_budget,
         "puzzle_format_sample": q_puzzle_format_sample,
         "topn_longest_docs": q_topn_longest,
         "weighted_mix_sources": q_weighted_mix,
@@ -3540,6 +3577,7 @@ def oracle_sql() -> dict[str, str]:
         "map_extract_qa": SQL_MAP_EXTRACT_QA,
         "rouge_seed_filter": SQL_ROUGE_SEED_FILTER,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
+        "sample_token_budget": sql_sample_token_budget(),
         "puzzle_format_sample": SQL_PUZZLE_FORMAT_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,

@@ -223,6 +223,63 @@ def weighted_mix(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    token_count_col: str,
+    token_budget: int,
+    key_cols: list[str],
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Downsample each domain to an EXPECTED ``token_budget`` tokens — the
+    data-mixing primitive count-based samplers can't express: mixture specs
+    for training corpora are token budgets, and domains with different doc
+    lengths hit different token totals at the same row count.
+
+    Keep probability per domain = min(1, budget / domain_tokens); each
+    row's decision is the deterministic md5-uniform of (salt, key_cols)
+    against ``trunc(prob * 2^32)`` in integer space (the
+    :func:`sample_fraction_deterministic` idiom, so the oracle replays it
+    exactly). Domains at or under budget — and zero-token domains — pass
+    through whole.
+
+    Scale: one partial-agg token sum per domain (the shuffle carries one
+    row per (task, domain)), re-joined against the tiny totals side (AQE
+    broadcasts it); the keep decision is a stateless narrow filter. No
+    per-domain window or sort, so a giant domain never serializes onto one
+    task. Expected-budget semantics: relative deviation of the realized
+    token count ~ sqrt(mean_doc_tokens / budget) — negligible at real
+    budgets; use an exact cumulative cut only if you can afford a
+    per-domain sorted window at that domain's size.
+    """
+    tagged = df.withColumn("_tok", F.col(token_count_col).cast("long"))
+    totals = tagged.groupBy(domain_col).agg(
+        F.sum("_tok").alias("_domain_tokens")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(token_budget))
+        / F.greatest(F.col("_domain_tokens"), F.lit(1)).cast("double"),
+    )
+    threshold = (frac * F.lit(float(1 << 32))).cast("long")
+    return (
+        tagged.join(totals, on=domain_col)
+        .filter(h < threshold)
+        .drop("_tok", "_domain_tokens")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, per_stratum: int, key_cols: list[str],
     salt: str = "strat",

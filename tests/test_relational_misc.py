@@ -172,3 +172,33 @@ def test_bench_headline_keys_exist():
     assert not missing, missing
     # and the driver contract: every query has an oracle
     assert sorted(entrymod.queries()) == sorted(entrymod.oracle_sql())
+
+
+def test_sample_to_token_budget(spark):
+    """Under-budget domains pass through whole; over-budget domains keep an
+    ~budget-sized token subset; the decision is deterministic and
+    partition-layout independent."""
+    rows = [("big", i, 100) for i in range(200)] + [
+        ("small", 1000 + i, 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "domain string, id long, toks int")
+    out = relational.sample_to_token_budget(df, "domain", "toks", 2000, ["id"])
+    got = {(r["domain"], r["id"]) for r in out.collect()}
+    # small: 50 tokens total, far under budget -> complete
+    assert {(d, i) for d, i in got if d == "small"} == {
+        ("small", 1000 + i) for i in range(5)
+    }
+    # big: 20000 tokens at budget 2000 -> ~10% keep, binomial(200, .1)
+    n_big = sum(1 for d, _ in got if d == "big")
+    assert 5 <= n_big <= 45
+    # deterministic and layout-independent
+    again = {
+        (r["domain"], r["id"])
+        for r in relational.sample_to_token_budget(
+            df.repartition(7), "domain", "toks", 2000, ["id"]
+        ).collect()
+    }
+    assert again == got
+    # a zero-token domain passes through whole (no div-by-zero)
+    z = spark.createDataFrame([("z", 1, 0), ("z", 2, 0)], "domain string, id long, toks int")
+    assert relational.sample_to_token_budget(z, "domain", "toks", 100, ["id"]).count() == 2
