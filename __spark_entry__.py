@@ -897,6 +897,46 @@ def sql_text_stats():
     """
 
 
+def q_corpus_quality_report(spark, sf_dir):
+    """Per-language corpus profile — the analytics a mixing decision reads
+    before setting token budgets: doc counts, total tokens, exact R-7
+    percentiles of token length and quality score. percentile() is
+    Spark's exact interpolated aggregate (no approx sketch), matching
+    DuckDB quantile_cont; floats are round6 per the driver contract, and
+    the total stays integer. One groupBy — partial aggregation map-side,
+    percentiles merged from per-partition buffers."""
+    docs = _docs_spread(spark, sf_dir)
+    s = with_text_stats(docs)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ws_tokens").cast("long")).alias("total_ws_tokens"),
+        F.round(
+            F.percentile(F.col("ws_tokens").cast("double"), F.lit(0.5)), 6
+        ).alias("median_ws_tokens"),
+        F.round(
+            F.percentile(F.col("ws_tokens").cast("double"), F.lit(0.9)), 6
+        ).alias("p90_ws_tokens"),
+        F.round(F.percentile(F.col("quality_score"), F.lit(0.5)), 6).alias(
+            "median_quality"
+        ),
+    )
+
+
+def sql_corpus_quality_report():
+    return f"""
+        with s as ({sql_text_stats()}),
+        j as (
+          select s.*, d.lang from s join documents d on s.doc_id = d.doc_id
+        )
+        select lang, count(*) as n_docs,
+          sum(ws_tokens)::bigint as total_ws_tokens,
+          round(quantile_cont(ws_tokens::double, 0.5), 6) as median_ws_tokens,
+          round(quantile_cont(ws_tokens::double, 0.9), 6) as p90_ws_tokens,
+          round(quantile_cont(quality_score, 0.5), 6) as median_quality
+        from j group by lang
+    """
+
+
 def q_token_length_filter(spark, sf_dir):
     """Exact-tokenizer token counting + length cutoff (the 16k-cutoff rule,
     Stratos/filter_out_less_16k.py:69-72, cutoff scaled to fixture size).
@@ -3461,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_metrics_by_reason": q_qf_metrics,
         "qf_conversation_policy": q_conversation_policy,
         "text_stats_docs": q_text_stats,
+        "corpus_quality_report": q_corpus_quality_report,
         "token_length_filter": q_token_length_filter,
         "docs_fingerprint_summary": q_fingerprint_summary,
         "math_domain_filter": q_math_domain_filter,
@@ -3555,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_metrics_by_reason": sql_qf_metrics(),
         "qf_conversation_policy": sql_conversation_policy(),
         "text_stats_docs": sql_text_stats(),
+        "corpus_quality_report": sql_corpus_quality_report(),
         "token_length_filter": sql_token_length_filter(),
         "docs_fingerprint_summary": SQL_FINGERPRINT_SUMMARY,
         "math_domain_filter": sql_math_domain_filter(),

@@ -78,6 +78,17 @@ CONFIG_SPECS: dict[str, ConfigSpec] = {
         },
     ),
     "mix": ConfigSpec({"key_cols": list}, {"shard_ids": list}),
+    # downsample each domain to an expected token budget (mixture specs
+    # are token budgets); token_count_col must already exist on the input
+    "token_budget_sample": ConfigSpec(
+        {
+            "domain_col": str,
+            "token_count_col": str,
+            "token_budget": int,
+            "key_cols": list,
+        },
+        {"salt": str},
+    ),
     "merge": ConfigSpec({"on": (str, list)}),
     "dedup_exact": ConfigSpec({"id_col": str, "text_col": str}),
     "minhash_dedup": ConfigSpec(
@@ -662,6 +673,19 @@ def _op_embed_texts(spark, cfg, inputs):
     return embed_texts(_one(inputs, "embed_texts"), cfg["text_col"], **kwargs)
 
 
+def _op_token_budget_sample(spark, cfg, inputs):
+    from open_thoughts_spark.operators.relational import sample_to_token_budget
+
+    return sample_to_token_budget(
+        _one(inputs, "token_budget_sample"),
+        cfg["domain_col"],
+        cfg["token_count_col"],
+        cfg["token_budget"],
+        cfg["key_cols"],
+        salt=cfg.get("salt", "tokbudget"),
+    )
+
+
 OPERATOR_REGISTRY: dict[str, Callable] = {
     "parquet_source": _op_parquet_source,
     "function": _op_function,
@@ -681,4 +705,5 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "train_classifier": _op_train_classifier,
     "classifier_filter": _op_classifier_filter,
     "embed_texts": _op_embed_texts,
+    "token_budget_sample": _op_token_budget_sample,
 }

@@ -848,3 +848,55 @@ def test_minhash_dedup_dag_accepts_bucket_cap(spark):
 
     with _pytest.raises(DAGParseError):
         parse_dag(cfg({"max_bucket_size": "two"}))
+
+
+def test_token_budget_sample_dag_op(spark):
+    """token_budget_sample must parse with typed keys and produce the same
+    rows as calling sample_to_token_budget directly."""
+    from open_thoughts_spark.pipeline.dag import parse_dag, run_dag
+    from open_thoughts_spark.operators.relational import sample_to_token_budget
+    from open_thoughts_spark.functions.text_stats import ws_token_count
+    from pyspark.sql import functions as F
+
+    dag = parse_dag(
+        {
+            "name": "t",
+            "operators": [
+                {
+                    "id": "src",
+                    "config": {"type": "parquet_source", "path": "documents.parquet"},
+                },
+                {
+                    "id": "tok",
+                    "input_ids": ["src"],
+                    "config": {
+                        "type": "function",
+                        "function": "open_thoughts_spark.functions.text_stats.with_text_stats",
+                    },
+                },
+                {
+                    "id": "sampled",
+                    "input_ids": ["tok"],
+                    "config": {
+                        "type": "token_budget_sample",
+                        "domain_col": "lang",
+                        "token_count_col": "ws_tokens",
+                        "token_budget": 400,
+                        "key_cols": ["doc_id"],
+                    },
+                },
+            ],
+        }
+    )
+    base = "/root/testdata/sf0.001"
+    got = {r["doc_id"] for r in run_dag(spark, dag, base_path=base)["sampled"].collect()}
+    docs = spark.read.parquet(f"{base}/documents.parquet").withColumn(
+        "ws_tokens", ws_token_count(F.col("text"))
+    )
+    want = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            docs, "lang", "ws_tokens", 400, ["doc_id"]
+        ).collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()
