@@ -900,3 +900,17 @@ def test_token_budget_sample_dag_op(spark):
         ).collect()
     }
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_example_mixing_yaml_runs(spark):
+    """The checked-in data-mixing example must keep parsing and running
+    (stats -> token budget -> capped minhash dedup chain)."""
+    from open_thoughts_spark.pipeline.dag import parse_dag, parse_yaml_config, run_dag
+
+    dag = parse_dag(parse_yaml_config("examples/data_mixing_pipeline.yaml"))
+    outs = run_dag(spark, dag, base_path="/root/testdata/sf0.001")
+    final = outs["final"]
+    assert final.columns == ["doc_id", "lang", "ws_tokens"]
+    n = final.count()
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < n < src  # the budget really sampled something out

@@ -97,3 +97,82 @@ def _assert_parity(spark, texts: list[str | None]) -> None:
 @settings(max_examples=3, deadline=None)
 def test_fuzz_parity(spark, seed):
     _assert_parity(spark, _corpus(seed, 250))
+
+
+# --- sampler / skew-guard kernel parity (driver-replayable md5 kernels) ---
+
+@st.composite
+def _budget_corpus(draw):
+    domains = draw(st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=60))
+    rows = [
+        (d, i, draw(st.integers(min_value=0, max_value=500)))
+        for i, d in enumerate(domains)
+    ]
+    budget = draw(st.integers(min_value=0, max_value=3000))
+    return rows, budget
+
+
+@given(_budget_corpus())
+@settings(max_examples=5, deadline=None)
+def test_token_budget_sampler_matches_python_replica(spark, case):
+    """Every kept row must match a driver-side replay of the md5-uniform vs
+    trunc(prob*2^32) kernel — including frac==1 pass-through, zero-token
+    domains and budget=0."""
+    import hashlib
+
+    from open_thoughts_spark.operators.relational import sample_to_token_budget
+
+    rows, budget = case
+    df = spark.createDataFrame(rows, "domain string, id long, toks int")
+    got = {
+        (r["domain"], r["id"])
+        for r in sample_to_token_budget(df, "domain", "toks", budget, ["id"]).collect()
+    }
+    totals: dict[str, int] = {}
+    for d, _, t in rows:
+        totals[d] = totals.get(d, 0) + t
+    want = set()
+    for d, i, _ in rows:
+        h = int(hashlib.md5(f"tokbudget|{i}".encode()).hexdigest()[:8], 16)
+        frac = min(1.0, float(budget) / max(totals[d], 1))
+        if h < int(frac * float(1 << 32)):
+            want.add((d, i))
+    assert got == want
+
+
+@st.composite
+def _band_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=50))
+    rows = [
+        (
+            i,
+            draw(st.integers(min_value=0, max_value=2)),
+            draw(st.sampled_from(["k1", "k2", "hot", "x"])),
+        )
+        for i in range(n)
+    ]
+    cap = draw(st.integers(min_value=0, max_value=8))
+    return rows, cap
+
+
+@given(_band_corpus())
+@settings(max_examples=5, deadline=None)
+def test_cap_band_buckets_matches_python_replica(spark, case):
+    from collections import Counter
+
+    from open_thoughts_spark.operators import dedup
+
+    rows, cap = case
+    df = spark.createDataFrame(rows, "doc_id long, band_idx int, band_key string")
+    got = {
+        (r["doc_id"], r["band_idx"], r["band_key"])
+        for r in dedup.cap_band_buckets(df, cap).collect()
+    }
+    sizes = Counter((b, k) for _, b, k in rows)
+    want = {(i, b, k) for i, b, k in rows if sizes[(b, k)] <= cap}
+    assert got == want
+    audit = {
+        (r["band_idx"], r["band_key"], r["bucket_n"])
+        for r in dedup.oversize_band_buckets(df, cap).collect()
+    }
+    assert audit == {(b, k, n) for (b, k), n in sizes.items() if n > cap}
