@@ -183,11 +183,14 @@ def candidate_pairs(
     ``materialize`` lazily checkpoints the band table so the self-join's
     two sides don't each recompute the whole signature lineage.
     ``max_bucket_size`` drops degenerate band buckets before the self-join
-    (:func:`cap_band_buckets` — the web-scale skew guard)."""
-    if materialize:
-        bands_df = bands_df.localCheckpoint(eager=False)
+    (:func:`cap_band_buckets` — the web-scale skew guard). The cap runs
+    BEFORE the checkpoint so its window computes once; applied after, both
+    join sides would re-run the window + its exchange (measured: 6
+    exchanges / 2 windows vs 3 / 1)."""
     if max_bucket_size is not None:
         bands_df = cap_band_buckets(bands_df, max_bucket_size)
+    if materialize:
+        bands_df = bands_df.localCheckpoint(eager=False)
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -536,8 +539,10 @@ def simhash_neardup_pairs(
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for exact pigeonhole recall")
-    if materialize:
-        # fp feeds both sides of the self-join (see simhash64_neardup_pairs)
+    if materialize and max_bucket_size is None:
+        # fp feeds both sides of the self-join (see simhash64_neardup_pairs);
+        # with a bucket cap the checkpoint moves AFTER the cap's window so
+        # that too computes once
         fp = fp.localCheckpoint(eager=False)
     width = bits // bands
     mask = (1 << width) - 1
@@ -557,6 +562,8 @@ def simhash_neardup_pairs(
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
         )
+        if materialize:
+            banded = banded.localCheckpoint(eager=False)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"),
         "band_idx", "band_val",
@@ -689,11 +696,12 @@ def simhash64_neardup_pairs(
             "4x16-bit bands guarantee recall only for max_hamming <= 3; "
             "use more/narrower bands for a larger radius"
         )
-    if materialize:
+    if materialize and max_bucket_size is None:
         # fp feeds BOTH sides of the self-join; without materialization the
         # broadcast-join plan recomputes the whole fingerprint lineage
         # (scan + word explode + md5 x2 + agg) twice. Lazy localCheckpoint
-        # computes it once and serves both sides.
+        # computes it once and serves both sides. With a bucket cap the
+        # checkpoint moves AFTER the cap's window so that too computes once.
         fp = fp.localCheckpoint(eager=False)
     mask = F.lit((1 << 16) - 1)
     band_vals = [
@@ -716,6 +724,8 @@ def simhash64_neardup_pairs(
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
         )
+        if materialize:
+            banded = banded.localCheckpoint(eager=False)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hi_col).alias("_ha"),
         F.col(lo_col).alias("_la"), "band_idx", "band_val",

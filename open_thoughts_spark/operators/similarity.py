@@ -231,12 +231,14 @@ def cosine_pairs_banded(
     if max_bucket_size is not None:
         # skew guard: one degenerate sign pattern (e.g. the zero vector's
         # all-positive band) would otherwise self-join quadratically; see
-        # dedup.cap_band_buckets for the trade
+        # dedup.cap_band_buckets for the trade. Checkpoint after the cap so
+        # the window (and the pandas-UDF sign lineage under it) computes
+        # once instead of per join side.
         from open_thoughts_spark.operators.dedup import cap_band_buckets
 
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
-        )
+        ).localCheckpoint(eager=False)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
         "band_idx", "band_val",
