@@ -308,3 +308,49 @@ def test_minhash_signature_single_shuffle(spark, tmp_path):
     plan64 = sig64._jdf.queryExecution().executedPlan().toString()
     assert plan64.count("Exchange") == 1, plan64
     assert plan64.count("md5") <= 8 * 2 + 2  # partial+final projections, slack
+
+
+def test_bucket_cap_window_computes_once(spark, tmp_path):
+    """The skew-guard cap must not grow the candidate-pairs plan: capping
+    before the lazy checkpoint keeps the window out of BOTH join sides, so
+    the executed plan has the same exchange count as the uncapped join and
+    zero inline Window nodes (the window runs once, inside the checkpoint
+    job)."""
+    from open_thoughts_spark.operators import dedup
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"shared words here number {i % 7} and filler") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    sig = dedup.minhash_signature(
+        spark.read.parquet(p), "doc_id", "text", num_perm=8, shingle_n=3
+    )
+    bands = dedup.lsh_bands(sig, "doc_id", bands=4, rows_per_band=2)
+
+    def shape(cap):
+        df = dedup.candidate_pairs(bands, "doc_id", max_bucket_size=cap)
+        df.count()  # force the checkpoint so the executed plan is final
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.count("Exchange"), s.count("Window")
+
+    assert shape(2) == shape(None)
+
+
+def test_token_budget_sampler_broadcasts_totals(spark, tmp_path):
+    """The per-domain totals side must broadcast (it is one row per
+    domain); a sort-merge join here would shuffle the full corpus by
+    domain — the exact skew the operator is designed to avoid."""
+    from open_thoughts_spark.operators.relational import sample_to_token_budget
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(f"d{i % 3}", i, 10 + i % 5) for i in range(60)],
+        "domain string, id long, toks int",
+    ).write.parquet(p)
+    out = sample_to_token_budget(
+        spark.read.parquet(p), "domain", "toks", 100, ["id"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
