@@ -49,6 +49,35 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def write_clustered_table(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table range-clustered on ``cluster_cols`` — the data-
+    skipping layout (Iceberg sort orders / Delta OPTIMIZE ZORDER's 1-D
+    case): ``repartitionByRange`` gives every output file a disjoint key
+    range and ``sortWithinPartitions`` keeps row groups tight, so parquet
+    footer min/max stats let readers skip whole files and row groups for
+    selective predicates on the cluster key. Complements
+    :func:`write_bucketed_table` (hash layout for shuffle-free JOINS;
+    this is the range layout for selective SCANS). Clustering pays one
+    range shuffle at write time; ``num_files`` defaults to the session's
+    shuffle parallelism.
+
+    The range boundaries come from Spark's reservoir sampling of the key —
+    skewed keys still land in roughly equal-sized files (the sampler sees
+    the skew), unlike hash bucketing where a hot key pins one bucket.
+    """
+    if num_files is not None:
+        parted = df.repartitionByRange(num_files, *cluster_cols)
+    else:
+        parted = df.repartitionByRange(*cluster_cols)
+    parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
 def upload_metadata(
     spark: SparkSession, df: DataFrame, destination: str, key_cols: list[str]
 ) -> DataFrame:

@@ -354,3 +354,44 @@ def test_token_budget_sampler_broadcasts_totals(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered_table's range layout is the data-skipping story:
+    every output file must cover a disjoint range of the cluster key
+    (parquet footer min/max verified with pyarrow), so a selective
+    predicate can skip all but one file. Row groups inside each file are
+    sorted, keeping their min/max stats tight too."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from open_thoughts_spark.sources.sinks import write_clustered_table
+
+    p = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).withColumn(
+        "k", (F.col("id") * 7919) % 10_000  # scrambled insertion order
+    ).withColumn("payload", F.md5(F.col("id").cast("string")))
+    write_clustered_table(df, p, ["k"], num_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{p}/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "k"
+        )
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ki).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1  # really multi-file
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, ranges  # pairwise disjoint key ranges
+    # the data survives the layout intact
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.filter(F.col("k") < 100).count() == 100
