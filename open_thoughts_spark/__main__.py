@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
         "live deployment would drop the trigger for continuous micro-"
         "batches). Writes kept turns to --output/filtered_stream",
     )
+    p.add_argument(
+        "--cluster-output",
+        metavar="COLS",
+        help="comma-separated columns to range-cluster the filtered output "
+        "on (repartitionByRange + sorted files -> parquet min/max file "
+        "skipping for selective reads, e.g. conv_id)",
+    )
     args = p.parse_args(argv)
     if args.rollback_to and not args.checkpoint_dir:
         p.error("--rollback-to requires --checkpoint-dir")
@@ -124,11 +131,24 @@ def main(argv: list[str] | None = None) -> int:
             "run_lineage": lineage_table(spark, args.checkpoint_dir),
         }
         if args.output:
+            cluster_cols = (
+                args.cluster_output.split(",") if args.cluster_output else None
+            )
             for name, df in result.items():
-                df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+                if name == "filtered" and cluster_cols:
+                    from open_thoughts_spark.sources.sinks import (
+                        write_clustered_table,
+                    )
+
+                    write_clustered_table(df, f"{args.output}/{name}", cluster_cols)
+                else:
+                    df.write.mode("overwrite").parquet(f"{args.output}/{name}")
     else:
         result = run_pipeline(
-            spark, args.input, output_dir=args.output, langid_mode=args.langid_mode
+            spark, args.input, output_dir=args.output, langid_mode=args.langid_mode,
+            cluster_output=args.cluster_output.split(",")
+            if args.cluster_output
+            else None,
         )
     metrics = {r["reason"]: r["rows"] for r in result["metrics"].collect()}
     total = sum(metrics.values())

@@ -197,12 +197,17 @@ def run_pipeline(
     input_path: str,
     output_dir: str | None = None,
     langid_mode: str = "native",
+    cluster_output: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; optionally write the three output tables.
 
     Outputs: ``filtered`` (kept turns, scrubbed), ``decisions`` (every turn
     with keep/drop + reason), ``metrics`` (drop-reason counts), ``lineage``
-    (per-partition row accounting).
+    (per-partition row accounting). ``cluster_output`` range-clusters the
+    ``filtered`` table on those columns at write time
+    (:func:`~open_thoughts_spark.sources.sinks.write_clustered_table`), so
+    downstream readers of the curated corpus get min/max file skipping on
+    the cluster key (e.g. ``conv_id``).
     """
     from open_thoughts_spark.pipeline.metrics import (
         drop_reason_metrics,
@@ -223,7 +228,12 @@ def run_pipeline(
     }
     if output_dir:
         decisions.write.mode("overwrite").parquet(f"{output_dir}/decisions")
-        filtered.write.mode("overwrite").parquet(f"{output_dir}/filtered")
+        if cluster_output:
+            from open_thoughts_spark.sources.sinks import write_clustered_table
+
+            write_clustered_table(filtered, f"{output_dir}/filtered", cluster_output)
+        else:
+            filtered.write.mode("overwrite").parquet(f"{output_dir}/filtered")
         metrics.write.mode("overwrite").parquet(f"{output_dir}/metrics")
         lineage.write.mode("overwrite").parquet(f"{output_dir}/lineage")
     return result

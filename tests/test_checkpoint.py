@@ -432,3 +432,64 @@ def test_lineage_records_output_bytes_and_snapshots_df(spark, tmp_path):
     # append carries parent files forward: file count grows, new_files small
     assert snaps[0]["n_files"] > snaps[0]["n_new_files"] > 0
     assert all(s["total_bytes"] > 0 for s in snaps)
+
+
+def test_run_pipeline_cluster_output(spark, transcripts_path, tmp_path):
+    """--cluster-output layout: the filtered table's parquet files must
+    cover pairwise-disjoint conv_id ranges (pyarrow footer stats), and the
+    clustered output must hold exactly the same rows as a plain write."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from open_thoughts_spark.pipeline import run_pipeline
+
+    out_plain = str(tmp_path / "plain")
+    out_clu = str(tmp_path / "clu")
+    run_pipeline(spark, transcripts_path, output_dir=out_plain, langid_mode="udf")
+    # at fixture scale AQE coalesces the range shuffle to ONE file (correct
+    # size-budget behavior at scale, degenerate for the layout assertion) —
+    # shrink the advisory size so several files materialize
+    knobs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        # the binding knob at KB scale: AQE never coalesces below this
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
+    }
+    prev = {k: spark.conf.get(k, None) for k in knobs}
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
+    try:
+        run_pipeline(
+            spark, transcripts_path, output_dir=out_clu, langid_mode="udf",
+            cluster_output=["conv_id"],
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = spark.read.parquet(f"{out_plain}/filtered")
+    clu = spark.read.parquet(f"{out_clu}/filtered")
+    key = ["conv_id", "turn_idx"]
+    assert (
+        plain.select(*key).exceptAll(clu.select(*key)).count() == 0
+        and clu.count() == plain.count()
+    )
+    ranges = []
+    for f in sorted(glob.glob(f"{out_clu}/filtered/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "conv_id"
+        )
+        stats = [
+            meta.row_group(rg).column(ki).statistics
+            for rg in range(meta.num_row_groups)
+        ]
+        if stats:
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, ranges  # files cover ordered, non-interleaved ranges
