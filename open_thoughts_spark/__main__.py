@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--rollback-to requires --checkpoint-dir")
     if args.streaming and not args.output:
         p.error("--streaming requires --output")
+    if args.streaming and args.cluster_output:
+        p.error(
+            "--cluster-output applies to the batch filtered table; a stream "
+            "appends micro-batches and cannot guarantee disjoint file ranges"
+        )
 
     from open_thoughts_spark.session import get_spark
     from open_thoughts_spark.pipeline import run_pipeline

@@ -493,3 +493,15 @@ def test_run_pipeline_cluster_output(spark, transcripts_path, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, ranges  # files cover ordered, non-interleaved ranges
+
+
+def test_cli_cluster_output_rejects_streaming():
+    import pytest
+
+    from open_thoughts_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--input", "/x", "--output", "/y", "--streaming",
+             "--cluster-output", "conv_id"]
+        )
