@@ -563,6 +563,54 @@ def sql_qf_docs_decisions():
     """
 
 
+def q_qf_rule_matrix(spark, sf_dir):
+    """Per-rule ablation matrix (pipeline.metrics.rule_hit_matrix):
+    independent hits vs cascade-attributed drops vs shadowed overlap, for
+    every rule in the inventory — the threshold-tuning view the
+    first-match drop_reason metrics can't show. The oracle recomputes
+    every rule predicate independently in SQL plus the cascade, then
+    aggregates the same three counters. Spark's repetition flag is gated
+    to wc <= TOO_LONG (an optimization invisible to the cascade but
+    visible to independent hits), so the oracle mirrors the gate."""
+    from open_thoughts_spark.pipeline.metrics import rule_hit_matrix
+
+    docs = _docs_spread(spark, sf_dir)
+    out = quality_filter(
+        docs, with_turn_order=False, compute_ppl=False, role_col=None
+    )
+    return rule_hit_matrix(out)
+
+
+def sql_qf_rule_matrix():
+    flags = duck_sql.rule_flags_sql("text")
+    wc = duck_sql.word_count_sql("text")
+    # mirror the Spark flag's wc <= TOO_LONG gate (see q_qf_rule_matrix)
+    flags["repetition"] = (
+        f"({flags['repetition']} and {wc} <= {config.TOO_LONG_WORDS})"
+    )
+    cascade = duck_sql.reason_cascade_sql("text")
+    order = [r for r in config.RULE_ORDER if r in flags]
+    flag_cols = ",\n          ".join(
+        f"coalesce({flags[r]}, false) as f_{r}" for r in order
+    )
+    branches = " union all ".join(
+        f"""select '{r}' as rule,
+            sum(case when f_{r} then 1 else 0 end)::bigint as hits,
+            sum(case when dr = '{r}' then 1 else 0 end)::bigint as attributed
+            from f"""
+        for r in order
+    )
+    return f"""
+        with f as (
+          select {cascade} as dr,
+          {flag_cols}
+          from documents
+        )
+        select rule, hits, attributed, hits - attributed as shadowed
+        from ({branches})
+    """
+
+
 def q_qf_docs_scrub(spark, sf_dir):
     """PII scrub parity: inject deterministic PII, scrub, exact text out."""
     docs = _docs_spread(spark, sf_dir)
@@ -3499,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_docs_scrub_pii": q_qf_docs_scrub,
         "qf_transcripts_pipeline": q_qf_transcripts,
         "qf_metrics_by_reason": q_qf_metrics,
+        "qf_rule_hit_matrix": q_qf_rule_matrix,
         "qf_conversation_policy": q_conversation_policy,
         "text_stats_docs": q_text_stats,
         "corpus_quality_report": q_corpus_quality_report,
@@ -3594,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_docs_scrub_pii": sql_qf_docs_scrub(),
         "qf_transcripts_pipeline": sql_qf_transcripts(),
         "qf_metrics_by_reason": sql_qf_metrics(),
+        "qf_rule_hit_matrix": sql_qf_rule_matrix(),
         "qf_conversation_policy": sql_conversation_policy(),
         "text_stats_docs": sql_text_stats(),
         "corpus_quality_report": sql_corpus_quality_report(),

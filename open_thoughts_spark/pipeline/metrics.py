@@ -41,3 +41,44 @@ def partition_lineage(decided: DataFrame) -> DataFrame:
         )
         .withColumn("rows_dropped", F.col("rows_in") - F.col("rows_kept"))
     )
+
+
+def rule_hit_matrix(
+    flagged: DataFrame, reason_col: str = "drop_reason"
+) -> DataFrame:
+    """(rule, hits, attributed, shadowed) per rule — the ablation view the
+    first-match cascade hides.
+
+    ``hits`` counts every row where the rule fires independent of cascade
+    position (the ``rule_<name>`` flags from ``with_quality_flags``);
+    ``attributed`` counts rows the cascade actually charged to this rule
+    (its drop_reason); ``shadowed = hits - attributed`` is overlap an
+    earlier rule claimed first. Tuning a threshold against the metrics
+    table alone misleads — a rule whose drops all reappear under another
+    rule's hits buys nothing when relaxed; this table shows that.
+
+    One pass: a single global aggregate (2 small counters per rule,
+    map-side partial agg — well under the ~40-buffer-field codegen limit
+    at the 13-rule inventory) unpivoted driver-free into one row per rule.
+    """
+    rules = [c[len("rule_"):] for c in flagged.columns if c.startswith("rule_")]
+    aggs = []
+    for r in rules:
+        aggs.append(F.sum(F.col(f"rule_{r}").cast("long")).alias(f"_h_{r}"))
+        aggs.append(
+            F.sum(F.when(F.col(reason_col) == r, 1).otherwise(0)).alias(f"_a_{r}")
+        )
+    row = flagged.agg(*aggs)
+    pieces = [
+        F.struct(
+            F.lit(r).alias("rule"),
+            F.col(f"_h_{r}").alias("hits"),
+            F.col(f"_a_{r}").alias("attributed"),
+        )
+        for r in rules
+    ]
+    return (
+        row.select(F.explode(F.array(*pieces)).alias("_x"))
+        .select("_x.rule", "_x.hits", "_x.attributed")
+        .withColumn("shadowed", F.col("hits") - F.col("attributed"))
+    )

@@ -130,3 +130,31 @@ def test_turn_rank_is_stable_ordering(spark, transcripts_path):
     )
     bad = out.filter((out.turn_rank - 1) != out.turn_idx).count()
     assert bad == 0  # turn_idx is dense from 0 → rank-1 == idx despite shuffled layout
+
+
+def test_rule_hit_matrix_invariants(spark, transcripts_path):
+    """Ablation matrix consistency: attributed <= hits per rule, attributed
+    totals equal the cascade's drop counts exactly, and shadowed is their
+    gap. The first rule in RULE_ORDER can never be shadowed."""
+    from open_thoughts_spark.pipeline.metrics import (
+        drop_reason_metrics,
+        rule_hit_matrix,
+    )
+    from open_thoughts_spark import config
+
+    df = spark.read.parquet(transcripts_path)
+    out = quality_filter(df, with_turn_order=False)
+    matrix = {r["rule"]: r for r in rule_hit_matrix(out).collect()}
+    reasons = {
+        r["reason"]: r["rows"] for r in drop_reason_metrics(out).collect()
+    }
+    assert set(matrix)  # non-empty rule inventory
+    for rule, row in matrix.items():
+        assert 0 <= row["attributed"] <= row["hits"]
+        assert row["shadowed"] == row["hits"] - row["attributed"]
+        assert row["attributed"] == reasons.get(rule, 0)
+    first = next(r for r in config.RULE_ORDER if r in matrix)
+    assert matrix[first]["shadowed"] == 0
+    # overlap really exists in the fixture (otherwise the matrix adds
+    # nothing over the metrics table and the test proves too little)
+    assert any(r["shadowed"] > 0 for r in matrix.values())
