@@ -7,8 +7,10 @@ or locally:
     python -m open_thoughts_spark --generate-fixture 600 --input <dir> \
         [--output <dir>]   # writes the deterministic fixture first
 
-Outputs under --output: decisions/, filtered/, metrics/, lineage/ (parquet);
-with --checkpoint-dir also run_lineage/ (the per-stage run-metadata audit).
+Outputs under --output: decisions/, filtered/, metrics/, lineage/,
+rule_matrix/ (per-rule ablation counts) as parquet; with --checkpoint-dir
+also run_lineage/ (the per-stage run-metadata audit; no rule_matrix/ there
+— the stage snapshots carry the projected result schema, not the flags).
 """
 
 from __future__ import annotations

@@ -62,6 +62,12 @@ def rule_hit_matrix(
     at the 13-rule inventory) unpivoted driver-free into one row per rule.
     """
     rules = [c[len("rule_"):] for c in flagged.columns if c.startswith("rule_")]
+    if not rules:
+        raise ValueError(
+            "rule_hit_matrix needs the rule_<name> flag columns — pass the "
+            "with_quality_flags / quality_filter output, not a projection "
+            "that dropped them"
+        )
     aggs = []
     for r in rules:
         aggs.append(F.sum(F.col(f"rule_{r}").cast("long")).alias(f"_h_{r}"))

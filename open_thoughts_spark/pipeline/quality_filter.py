@@ -212,6 +212,7 @@ def run_pipeline(
     from open_thoughts_spark.pipeline.metrics import (
         drop_reason_metrics,
         partition_lineage,
+        rule_hit_matrix,
     )
 
     df = read_transcripts(spark, input_path)
@@ -225,6 +226,7 @@ def run_pipeline(
         "filtered": filtered,
         "metrics": metrics,
         "lineage": lineage,
+        "rule_matrix": rule_hit_matrix(decided),
     }
     if output_dir:
         decisions.write.mode("overwrite").parquet(f"{output_dir}/decisions")
@@ -236,4 +238,7 @@ def run_pipeline(
             filtered.write.mode("overwrite").parquet(f"{output_dir}/filtered")
         metrics.write.mode("overwrite").parquet(f"{output_dir}/metrics")
         lineage.write.mode("overwrite").parquet(f"{output_dir}/lineage")
+        result["rule_matrix"].write.mode("overwrite").parquet(
+            f"{output_dir}/rule_matrix"
+        )
     return result
