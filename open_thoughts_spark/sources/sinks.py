@@ -78,6 +78,81 @@ def write_clustered_table(
     parted.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
 
 
+def _bucket_search_expr(value, cuts: list[float], lo: int, hi: int):
+    """Binary-search WHEN tree: bucket id = #cutpoints <= value, in
+    ceil(log2(len(cuts))) comparisons per row, all inside whole-stage
+    codegen (a higher-order-array fold here would run interpreted per
+    element — the repo's measured array-lambda trap)."""
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        value < F.lit(cuts[mid]), _bucket_search_expr(value, cuts, lo, mid)
+    ).otherwise(_bucket_search_expr(value, cuts, mid + 1, hi))
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table Z-ORDER clustered on two or more numeric columns —
+    the multi-predicate data-skipping layout (Delta OPTIMIZE ZORDER, the
+    Morton-curve generalization of :func:`write_clustered_table`): range
+    clustering makes ONE column's per-file min/max tight; interleaving the
+    bits of every column's rank keeps each file's bounding box small in
+    ALL of them, so selective predicates on any clustered column (or
+    several at once) skip most files.
+
+    Scale shape: per-column cutpoints come from ``approxQuantile`` (the
+    Greenwald-Khanna sketch — one pass, the driver gets ``2^bits`` numbers
+    per column, never rows), so buckets are occupancy-balanced even on
+    skewed columns — equi-width buckets would put a Zipf head in one
+    bucket. Bucket lookup is a binary-search WHEN tree (``bits``
+    comparisons/row, codegen'd); the z-value interleaves the bucket bits;
+    one range shuffle on z lays the files out along the Morton curve.
+    2^bits buckets per column bounds file-level resolution — 256 is plenty
+    for any real file count per dimension; raise ``bits`` only with a
+    matching rise in files.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_clustered_table")
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for i, c in enumerate(cols):
+        probs = [j / n_buckets for j in range(1, n_buckets)]
+        cuts = df.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+        # strictly increasing cutpoint list (ties on skewed cols collapse)
+        uniq: list[float] = []
+        for v in cuts:
+            if not uniq or v > uniq[-1]:
+                uniq.append(v)
+        bucket_cols.append(
+            _bucket_search_expr(
+                F.col(c).cast("double"), uniq, 0, len(uniq)
+            ).alias(f"_zb{i}")
+        )
+    tagged = df.select("*", *bucket_cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i in range(len(cols)):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(f"_zb{i}"), b).bitwiseAND(F.lit(1)).cast("long"),
+                b * len(cols) + i,
+            )
+    zed = tagged.withColumn("_z", z).drop(
+        *[f"_zb{i}" for i in range(len(cols))]
+    )
+    if num_files is not None:
+        parted = zed.repartitionByRange(num_files, "_z")
+    else:
+        parted = zed.repartitionByRange("_z")
+    parted.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
 def upload_metadata(
     spark: SparkSession, df: DataFrame, destination: str, key_cols: list[str]
 ) -> DataFrame:
