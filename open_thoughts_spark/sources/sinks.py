@@ -120,6 +120,19 @@ def write_zorder_table(
     """
     if len(cols) < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_clustered_table")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(
+            f"z-order columns must be numeric (approxQuantile cutpoints): {bad}; "
+            "cast timestamps to epoch first, or range-cluster on a single "
+            "string key with write_clustered_table instead"
+        )
     n_buckets = 1 << bits
     bucket_cols = []
     for i, c in enumerate(cols):

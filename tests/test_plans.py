@@ -449,3 +449,13 @@ def test_zorder_write_bounds_every_dimension(spark, tmp_path):
     assert spark.read.parquet(p).count() == n
     # the z-value is a write-time artifact, not a table column
     assert "_z" not in spark.read.parquet(p).columns
+
+
+def test_zorder_rejects_string_columns(spark):
+    from open_thoughts_spark.sources.sinks import write_zorder_table
+
+    df = spark.range(10).withColumn("s", F.md5(F.col("id").cast("string")))
+    with pytest.raises(ValueError, match="numeric"):
+        write_zorder_table(df, "/tmp/nope", ["id", "s"])
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        write_zorder_table(df, "/tmp/nope", ["id"])
