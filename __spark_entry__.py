@@ -1770,6 +1770,44 @@ def sql_sample_token_budget():
     """
 
 
+def q_sample_token_budget_per_domain(spark, sf_dir):
+    """Per-domain budgets (the dict form): mixture specs upweight some
+    domains — here en gets 2000 tokens, zh 3000, every other lang has no
+    entry and passes through whole (budget = its own total). The budget
+    CASE is driver-side literals, so the oracle replays it as the same
+    CASE."""
+    from open_thoughts_spark.functions.text_stats import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.withColumn(
+        "ws_tokens", ws_token_count(F.col("text")).cast("long")
+    )
+    out = relational.sample_to_token_budget(
+        counted, "lang", "ws_tokens", {"en": 2000, "zh": 3000}, ["doc_id"]
+    )
+    return out.select("doc_id", "lang", "ws_tokens")
+
+
+def sql_sample_token_budget_per_domain():
+    wc = duck_sql.word_count_sql("text")
+    return f"""
+        with t as (
+          select doc_id, lang, ({wc})::bigint as ws_tokens from documents
+        ), tot as (
+          select lang, sum(ws_tokens) as domain_tokens from t group by 1
+        )
+        select t.doc_id, t.lang, t.ws_tokens
+        from t join tot on t.lang = tot.lang
+        where ('0x' || substr(md5('tokbudget' || '|' || t.doc_id::varchar), 1, 8))::bigint
+          < trunc(least(1.0,
+              (case when t.lang = 'en' then 2000.0
+                    when t.lang = 'zh' then 3000.0
+                    else tot.domain_tokens::double end)
+              / greatest(tot.domain_tokens, 1)::double)
+              * 4294967296.0)::bigint
+    """
+
+
 def q_weighted_mix(spark, sf_dir):
     """Training-mixture weighting: sources sampled at different fractions
     (hash-threshold deterministic — layout-independent), unioned, counted
@@ -3573,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_extract_qa": q_map_extract_qa,
         "sample_stratified_by_lang": q_stratified_sample,
         "sample_token_budget": q_sample_token_budget,
+        "sample_token_budget_per_domain": q_sample_token_budget_per_domain,
         "puzzle_format_sample": q_puzzle_format_sample,
         "topn_longest_docs": q_topn_longest,
         "weighted_mix_sources": q_weighted_mix,
@@ -3670,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "rouge_seed_filter": SQL_ROUGE_SEED_FILTER,
         "sample_stratified_by_lang": SQL_STRATIFIED_SAMPLE,
         "sample_token_budget": sql_sample_token_budget(),
+        "sample_token_budget_per_domain": sql_sample_token_budget_per_domain(),
         "puzzle_format_sample": SQL_PUZZLE_FORMAT_SAMPLE,
         "topn_longest_docs": SQL_TOPN_LONGEST,
         "weighted_mix_sources": SQL_WEIGHTED_MIX,

@@ -74,6 +74,10 @@ HEADLINE = [
     "code_exec_verify",
     "gopher_quality_filter",
     "embedding_neardup_banded",
+    # round-5 additions: the corpus-profiling percentile agg and the
+    # per-rule ablation matrix — the analytics lane over the full cascade
+    "corpus_quality_report",
+    "qf_rule_hit_matrix",
 ]
 
 

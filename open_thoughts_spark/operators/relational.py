@@ -227,9 +227,10 @@ def sample_to_token_budget(
     df: DataFrame,
     domain_col: str,
     token_count_col: str,
-    token_budget: int,
+    token_budget: int | dict[str, int],
     key_cols: list[str],
     salt: str = "tokbudget",
+    default_budget: int | None = None,
 ) -> DataFrame:
     """Downsample each domain to an EXPECTED ``token_budget`` tokens — the
     data-mixing primitive count-based samplers can't express: mixture specs
@@ -251,11 +252,30 @@ def sample_to_token_budget(
     token count ~ sqrt(mean_doc_tokens / budget) — negligible at real
     budgets; use an exact cumulative cut only if you can afford a
     per-domain sorted window at that domain's size.
+
+    ``token_budget`` may be a per-domain dict — real mixture specs
+    upweight some domains (code 2x, wiki 0.5x, …). Domains absent from
+    the dict get ``default_budget``; with no default they pass through
+    whole (budget = their own total). The per-domain budget becomes a
+    literal CASE over the dict — driver-side constants, no extra join.
     """
     tagged = df.withColumn("_tok", F.col(token_count_col).cast("long"))
     totals = tagged.groupBy(domain_col).agg(
         F.sum("_tok").alias("_domain_tokens")
     )
+    if isinstance(token_budget, dict):
+        fallback = (
+            F.lit(float(default_budget))
+            if default_budget is not None
+            else F.col("_domain_tokens").cast("double")
+        )
+        budget_expr = fallback
+        for d, b in sorted(token_budget.items()):
+            budget_expr = F.when(
+                F.col(domain_col) == F.lit(d), F.lit(float(b))
+            ).otherwise(budget_expr)
+    else:
+        budget_expr = F.lit(float(token_budget))
     h = F.conv(
         F.substring(
             F.md5(
@@ -269,7 +289,7 @@ def sample_to_token_budget(
     ).cast("long")
     frac = F.least(
         F.lit(1.0),
-        F.lit(float(token_budget))
+        budget_expr
         / F.greatest(F.col("_domain_tokens"), F.lit(1)).cast("double"),
     )
     threshold = (frac * F.lit(float(1 << 32))).cast("long")

@@ -84,10 +84,11 @@ CONFIG_SPECS: dict[str, ConfigSpec] = {
         {
             "domain_col": str,
             "token_count_col": str,
-            "token_budget": int,
+            # int = one budget for every domain; dict = per-domain budgets
+            "token_budget": (int, dict),
             "key_cols": list,
         },
-        {"salt": str},
+        {"salt": str, "default_budget": int},
     ),
     "merge": ConfigSpec({"on": (str, list)}),
     "dedup_exact": ConfigSpec({"id_col": str, "text_col": str}),
@@ -683,6 +684,7 @@ def _op_token_budget_sample(spark, cfg, inputs):
         cfg["token_budget"],
         cfg["key_cols"],
         salt=cfg.get("salt", "tokbudget"),
+        default_budget=cfg.get("default_budget"),
     )
 
 

@@ -202,3 +202,50 @@ def test_sample_to_token_budget(spark):
     # a zero-token domain passes through whole (no div-by-zero)
     z = spark.createDataFrame([("z", 1, 0), ("z", 2, 0)], "domain string, id long, toks int")
     assert relational.sample_to_token_budget(z, "domain", "toks", 100, ["id"]).count() == 2
+
+
+def test_sample_to_token_budget_per_domain_dict(spark):
+    """Dict budgets: listed domains get their own budget; unlisted domains
+    pass through whole without a default, and follow default_budget with
+    one. The scalar form stays equivalent to a constant dict."""
+    rows = (
+        [("big", i, 100) for i in range(200)]
+        + [("mid", 500 + i, 100) for i in range(50)]
+        + [("small", 1000 + i, 10) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "domain string, id long, toks int")
+    out = relational.sample_to_token_budget(
+        df, "domain", "toks", {"big": 2000}, ["id"]
+    )
+    got = {(r["domain"], r["id"]) for r in out.collect()}
+    # unlisted domains, no default -> complete pass-through
+    assert sum(1 for d, _ in got if d == "mid") == 50
+    assert sum(1 for d, _ in got if d == "small") == 5
+    n_big = sum(1 for d, _ in got if d == "big")
+    assert 5 <= n_big <= 45  # ~10% keep
+
+    # default_budget applies to unlisted domains
+    with_default = {
+        (r["domain"], r["id"])
+        for r in relational.sample_to_token_budget(
+            df, "domain", "toks", {"big": 2000}, ["id"], default_budget=500
+        ).collect()
+    }
+    n_mid = sum(1 for d, _ in with_default if d == "mid")
+    assert n_mid < 50  # 5000 tokens at budget 500 -> ~10% keep
+    assert sum(1 for d, _ in with_default if d == "small") == 5  # under budget
+
+    # scalar == constant dict with default for every domain
+    scalar = {
+        (r["domain"], r["id"])
+        for r in relational.sample_to_token_budget(
+            df, "domain", "toks", 2000, ["id"]
+        ).collect()
+    }
+    dict_form = {
+        (r["domain"], r["id"])
+        for r in relational.sample_to_token_budget(
+            df, "domain", "toks", {}, ["id"], default_budget=2000
+        ).collect()
+    }
+    assert scalar == dict_form
