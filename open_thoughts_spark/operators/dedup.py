@@ -830,6 +830,7 @@ def frequent_ngrams(
     text_col: str,
     n: int = 3,
     min_docs: int = 2,
+    min_doc_frac: float | None = None,
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """(gram, doc_freq): word n-grams present in >= ``min_docs`` DISTINCT
@@ -840,8 +841,17 @@ def frequent_ngrams(
     the explode IS the df — one explode + one groupBy, no count-distinct
     re-shuffle. At web scale the output is the head of a Zipf curve: tiny
     relative to the corpus for any useful threshold.
+
+    ``min_doc_frac`` makes the threshold corpus-relative
+    (``ceil(frac * n_docs)``, floored at 2) — at unknown corpus size you
+    specify "grams in >= 0.1% of documents", not an absolute count. Costs
+    one metadata-cheap ``count()`` of the input.
     """
     df = spread(df, min_parallelism, F.col(id_col))
+    if min_doc_frac is not None:
+        import math
+
+        min_docs = max(2, math.ceil(min_doc_frac * df.count()))
     grams = df.select(
         F.explode(shingles_expr(F.col(text_col), n)).alias("gram")
     )
@@ -858,6 +868,7 @@ def scrub_frequent_ngrams(
     text_col: str,
     n: int = 3,
     min_docs: int = 2,
+    min_doc_frac: float | None = None,
     out_col: str = "scrubbed_text",
     removed_col: str = "n_removed",
     grams: DataFrame | None = None,
@@ -894,7 +905,10 @@ def scrub_frequent_ngrams(
     """
     df = spread(df, min_parallelism, F.col(id_col))
     if grams is None:
-        grams = frequent_ngrams(df, id_col, text_col, n=n, min_docs=min_docs)
+        grams = frequent_ngrams(
+            df, id_col, text_col, n=n, min_docs=min_docs,
+            min_doc_frac=min_doc_frac,
+        )
     gset = grams.select("gram")
     if broadcast_grams:
         gset = F.broadcast(gset)

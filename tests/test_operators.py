@@ -563,3 +563,27 @@ def test_cosine_banded_bucket_cap(spark):
         ).count()
         == 0
     )
+
+
+def test_frequent_ngrams_fractional_threshold(spark):
+    """min_doc_frac resolves to ceil(frac * n_docs), floored at 2, and must
+    match the absolute form exactly."""
+    rows = [
+        (i, "the common header line plus unique tail %d" % i) for i in range(10)
+    ] + [(100 + i, "entirely different words here %d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    # 20 docs: frac 0.3 -> ceil(6) = 6; absolute 6 must agree
+    frac = {
+        (r["gram"], r["doc_freq"])
+        for r in dedup.frequent_ngrams(
+            df, "id", "text", n=3, min_doc_frac=0.3
+        ).collect()
+    }
+    absolute = {
+        (r["gram"], r["doc_freq"])
+        for r in dedup.frequent_ngrams(df, "id", "text", n=3, min_docs=6).collect()
+    }
+    assert frac == absolute and frac  # non-empty: the shared header qualifies
+    # tiny fraction floors at 2 (df=1 grams never count as "frequent")
+    tiny = dedup.frequent_ngrams(df, "id", "text", n=3, min_doc_frac=1e-9)
+    assert tiny.agg(F.min("doc_freq")).collect()[0][0] >= 2

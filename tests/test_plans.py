@@ -459,3 +459,31 @@ def test_zorder_rejects_string_columns(spark):
         write_zorder_table(df, "/tmp/nope", ["id", "s"])
     with pytest.raises(ValueError, match=">= 2 columns"):
         write_zorder_table(df, "/tmp/nope", ["id"])
+
+
+def test_zorder_bucket_tree_matches_bisect(spark):
+    """The binary-search WHEN tree must equal bisect_right (count of
+    cutpoints <= value) for random cutpoint lists and probe values,
+    including values below/above every cutpoint and exact boundary hits."""
+    import bisect
+    import random
+
+    from open_thoughts_spark.sources.sinks import _bucket_search_expr
+
+    rng = random.Random(7)
+    for trial in range(4):
+        cuts = sorted({round(rng.uniform(-50, 50), 2) for _ in range(rng.randint(1, 40))})
+        probes = (
+            [cuts[0] - 1, cuts[-1] + 1]
+            + cuts[:5]  # exact boundary hits
+            + [round(rng.uniform(-60, 60), 2) for _ in range(20)]
+        )
+        df = spark.createDataFrame([(float(v),) for v in probes], "v double")
+        got = [
+            r["b"]
+            for r in df.select(
+                F.col("v"), _bucket_search_expr(F.col("v"), cuts, 0, len(cuts)).alias("b")
+            ).collect()
+        ]
+        want = [bisect.bisect_right(cuts, v) for v in probes]
+        assert got == want, (trial, cuts[:5], list(zip(probes, got, want))[:5])
