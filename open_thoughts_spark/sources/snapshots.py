@@ -30,6 +30,68 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _file_column_stats(files: list[str]) -> dict[str, dict[str, list]]:
+    """{file: {col: [min, max]}} from parquet footers — metadata-only reads
+    (a few KB per file, no row data), the same stats an Iceberg writer
+    records at commit time. Only JSON-safe scalar types (int/float/str)
+    are kept; anything else (binary, timestamps, missing stats) is
+    omitted so pruning stays conservative."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats become empty -> read() keeps every file
+        return {}
+    out: dict[str, dict[str, list]] = {}
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        cols: dict[str, list] = {}
+        for ci in range(len(meta.schema)):
+            name = meta.schema.column(ci).name
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins and all(
+                isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                for v in (min(mins), max(maxs))
+            ):
+                cols[name] = [min(mins), max(maxs)]
+        if cols:
+            out[path] = cols
+    return out
+
+
+def _bounds_may_match(bounds: list | None, op: str, value) -> bool:
+    """Interval test: can a file with [lo, hi] contain a row matching
+    ``col op value``? Unknown bounds -> True (never prune blindly)."""
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    if op in ("<", "<="):
+        return lo < value if op == "<" else lo <= value
+    if op in (">", ">="):
+        return hi > value if op == ">" else hi >= value
+    if op in ("==", "="):
+        return lo <= value <= hi
+    raise ValueError(f"unsupported pruning op: {op}")
+
+
+def _predicate(col: str, op: str, value):
+    c = F.col(col)
+    return {
+        "<": c < value,
+        "<=": c <= value,
+        ">": c > value,
+        ">=": c >= value,
+        "==": c == value,
+        "=": c == value,
+    }[op]
 
 
 class SnapshotCatalog:
@@ -152,8 +214,11 @@ class SnapshotCatalog:
             if fn.endswith(".parquet")
         )
         files = list(new_files)
+        stats = _file_column_stats(new_files)
         if mode == "append" and parent:
-            files = self.manifest(table, parent)["files"] + files
+            pm = self.manifest(table, parent)
+            files = pm["files"] + files
+            stats = {**pm.get("stats", {}), **stats}
         manifest = {
             "snapshot_id": snap_id,
             "parent": parent,
@@ -162,6 +227,10 @@ class SnapshotCatalog:
             "files": files,
             "new_files": new_files,
             "schema": df.schema.simpleString(),
+            # Iceberg manifests carry per-file column bounds for scan
+            # pruning; same contract here (parquet footer min/max, JSON-
+            # safe types only)
+            "stats": stats,
         }
         os.makedirs(os.path.dirname(self._manifest_path(table, snap_id)), exist_ok=True)
         with open(self._manifest_path(table, snap_id), "w") as f:
@@ -209,17 +278,45 @@ class SnapshotCatalog:
         )
 
     def read(
-        self, spark: SparkSession, table: str, snapshot_id: str | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: str | None = None,
+        where: tuple | None = None,
     ) -> DataFrame:
         """Read the table at ``snapshot_id`` (default: current) — time
-        travel is passing an older id."""
+        travel is passing an older id.
+
+        ``where=(col, op, value)`` with op in <, <=, >, >=, == prunes the
+        file list against the manifest's per-file column bounds BEFORE
+        Spark ever lists them (Iceberg metadata pruning: a planner-side
+        interval test over the manifest, no footer reads, no tasks), then
+        applies the same predicate to the surviving files — so the result
+        equals an unpruned filtered read, but a selective predicate over a
+        clustered layout opens a fraction of the files. Files with no
+        recorded bounds for the column are conservatively kept.
+        """
         snap = snapshot_id or self.current_snapshot(table)
         if snap is None:
             raise ValueError(f"table has no snapshots: {table}")
-        files = self.manifest(table, snap)["files"]
+        m = self.manifest(table, snap)
+        files = m["files"]
         if not files:
             raise ValueError(f"snapshot {snap} has no data files")
-        return spark.read.parquet(*files)
+        if where is None:
+            return spark.read.parquet(*files)
+        col, op, value = where
+        stats = m.get("stats", {})
+        kept = [
+            f
+            for f in files
+            if _bounds_may_match(stats.get(f, {}).get(col), op, value)
+        ]
+        if not kept:
+            # predicate excludes every file: an empty frame with the full
+            # schema (read one file's schema, filter to nothing)
+            return spark.read.parquet(files[0]).filter(F.lit(False))
+        return spark.read.parquet(*kept).filter(_predicate(col, op, value))
 
     def rollback(self, table: str, snapshot_id: str) -> None:
         """Repoint current at an earlier snapshot (metadata-only).

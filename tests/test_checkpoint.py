@@ -505,3 +505,44 @@ def test_cli_cluster_output_rejects_streaming():
             ["--input", "/x", "--output", "/y", "--streaming",
              "--cluster-output", "conv_id"]
         )
+
+
+def test_snapshot_read_prunes_files_by_stats(spark, tmp_path):
+    """Iceberg-style metadata pruning: the manifest's per-file column
+    bounds let a selective read open a fraction of the files, with results
+    identical to an unpruned filtered read; appends merge parent stats;
+    an impossible predicate returns an empty frame with the schema."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    df = (
+        spark.range(0, 8000)
+        .withColumn("k", (F.col("id") * 7919) % 8000)
+        .withColumn("v", F.md5(F.col("id").cast("string")))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    s1 = cat.write(df, "t", mode="overwrite")
+    n_files = len(cat.manifest("t", s1)["files"])
+    assert n_files > 4
+    assert cat.manifest("t", s1)["stats"]  # bounds recorded at commit
+
+    pruned = cat.read(spark, "t", where=("k", "<", 500))
+    full = cat.read(spark, "t").filter(F.col("k") < 500)
+    assert len(pruned.inputFiles()) < n_files  # really skipped files
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # appends merge parent stats so pruning still covers old files
+    extra = (
+        spark.range(50_000, 50_100)
+        .withColumn("k", F.col("id"))
+        .withColumn("v", F.md5(F.col("id").cast("string")))
+    )
+    cat.write(extra, "t", mode="append")
+    hi = cat.read(spark, "t", where=("k", ">=", 50_000))
+    assert hi.count() == 100
+    assert len(hi.inputFiles()) < len(cat.manifest("t", cat.current_snapshot("t"))["files"])
+    # impossible predicate: empty, schema intact, zero matching rows
+    none = cat.read(spark, "t", where=("k", "<", -1))
+    assert none.count() == 0 and set(none.columns) == {"id", "k", "v"}
