@@ -287,14 +287,17 @@ class SnapshotCatalog:
         """Read the table at ``snapshot_id`` (default: current) — time
         travel is passing an older id.
 
-        ``where=(col, op, value)`` with op in <, <=, >, >=, == prunes the
+        ``where`` is one ``(col, op, value)`` tuple or a list of them
+        (AND-combined), op in <, <=, >, >=, ==. Each predicate prunes the
         file list against the manifest's per-file column bounds BEFORE
         Spark ever lists them (Iceberg metadata pruning: a planner-side
         interval test over the manifest, no footer reads, no tasks), then
-        applies the same predicate to the surviving files — so the result
-        equals an unpruned filtered read, but a selective predicate over a
-        clustered layout opens a fraction of the files. Files with no
-        recorded bounds for the column are conservatively kept.
+        the same predicates filter the surviving files — so the result
+        equals an unpruned filtered read, but selective predicates over a
+        clustered/z-ordered layout open a fraction of the files (a z
+        layout makes SEVERAL columns' bounds tight at once — this is its
+        consumer). Files with no recorded bounds for a column are
+        conservatively kept.
         """
         snap = snapshot_id or self.current_snapshot(table)
         if snap is None:
@@ -305,18 +308,24 @@ class SnapshotCatalog:
             raise ValueError(f"snapshot {snap} has no data files")
         if where is None:
             return spark.read.parquet(*files)
-        col, op, value = where
+        preds = [where] if isinstance(where, tuple) else list(where)
         stats = m.get("stats", {})
         kept = [
             f
             for f in files
-            if _bounds_may_match(stats.get(f, {}).get(col), op, value)
+            if all(
+                _bounds_may_match(stats.get(f, {}).get(col), op, value)
+                for col, op, value in preds
+            )
         ]
         if not kept:
-            # predicate excludes every file: an empty frame with the full
+            # predicates exclude every file: an empty frame with the full
             # schema (read one file's schema, filter to nothing)
             return spark.read.parquet(files[0]).filter(F.lit(False))
-        return spark.read.parquet(*kept).filter(_predicate(col, op, value))
+        out = spark.read.parquet(*kept)
+        for col, op, value in preds:
+            out = out.filter(_predicate(col, op, value))
+        return out
 
     def rollback(self, table: str, snapshot_id: str) -> None:
         """Repoint current at an earlier snapshot (metadata-only).

@@ -546,3 +546,37 @@ def test_snapshot_read_prunes_files_by_stats(spark, tmp_path):
     # impossible predicate: empty, schema intact, zero matching rows
     none = cat.read(spark, "t", where=("k", "<", -1))
     assert none.count() == 0 and set(none.columns) == {"id", "k", "v"}
+
+
+def test_snapshot_read_prunes_multi_predicate_zorder(spark, tmp_path):
+    """AND-combined predicates over a z-ordered layout: both columns'
+    bounds prune, fewer files open than either predicate alone would
+    allow, results exact."""
+    import glob
+
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+    from open_thoughts_spark.sources.sinks import write_zorder_table
+
+    n = 20_000
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.col("id") * 7919) % n)
+        .withColumn("y", (F.col("id") * 104729) % n)
+    )
+    # z-order first, then commit the laid-out files through the catalog
+    zp = str(tmp_path / "zraw")
+    write_zorder_table(df, zp, ["x", "y"], num_files=16)
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    s = cat.write(spark.read.parquet(zp), "t", mode="overwrite")
+    n_files = len(cat.manifest("t", s)["files"])
+    # the catalog write may pack adjacent z-ranges into fewer files
+    # (adjacent ranges union, boxes stay local)
+    assert n_files > 4
+
+    preds = [("x", "<", 2000), ("y", "<", 2000)]
+    pruned = cat.read(spark, "t", where=preds)
+    truth = cat.read(spark, "t").filter((F.col("x") < 2000) & (F.col("y") < 2000))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in truth.collect()
+    )
+    assert len(pruned.inputFiles()) <= n_files // 2  # both dims pruned
