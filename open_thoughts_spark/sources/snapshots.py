@@ -175,6 +175,79 @@ class SnapshotCatalog:
         finally:
             self._release_commit_lock(lock)
 
+    def delete_where(
+        self, spark: SparkSession, table: str, where: tuple | list
+    ) -> str:
+        """Copy-on-write DELETE: remove every row matching ``where`` (one
+        ``(col, op, value)`` tuple or an AND list) in a NEW snapshot that
+        rewrites ONLY the files whose manifest bounds overlap the
+        predicate — every other file carries forward by reference, and the
+        parent snapshot still time-travels to the pre-delete data.
+
+        This is the Iceberg/Delta copy-on-write mechanism, and the curated-
+        corpus use case is exactly why it matters at 100 TB: purging a
+        contaminated id range (or a PII-flagged slice) from a petabyte
+        table must not rewrite the petabyte — with a clustered layout the
+        predicate bounds a handful of files and only those are rewritten.
+        Returns the new snapshot id (the current snapshot unchanged if no
+        file can contain a match — a metadata-only no-op).
+        """
+        preds = [where] if isinstance(where, tuple) else list(where)
+        lock = self._acquire_commit_lock(table)
+        try:
+            parent = self.current_snapshot(table)
+            if parent is None:
+                raise ValueError(f"table has no snapshots: {table}")
+            pm = self.manifest(table, parent)
+            stats = pm.get("stats", {})
+            touched = [
+                f
+                for f in pm["files"]
+                if all(
+                    _bounds_may_match(stats.get(f, {}).get(col), op, value)
+                    for col, op, value in preds
+                )
+            ]
+            if not touched:
+                return parent
+            survivors = F.lit(True)
+            for col, op, value in preds:
+                survivors = survivors & _predicate(col, op, value)
+            remaining = spark.read.parquet(*touched).filter(~survivors)
+
+            ts = int(time.time() * 1000)
+            snap_id = hashlib.md5(
+                f"{table}|{parent}|{ts}|delete|{preds!r}".encode()
+            ).hexdigest()[:16]
+            data_dir = os.path.join(self._tdir(table), "data", f"snap-{snap_id}")
+            remaining.write.mode("errorifexists").parquet(data_dir)
+            new_files = sorted(
+                os.path.join(data_dir, fn)
+                for fn in os.listdir(data_dir)
+                if fn.endswith(".parquet")
+            )
+            kept = [f for f in pm["files"] if f not in set(touched)]
+            manifest = {
+                "snapshot_id": snap_id,
+                "parent": parent,
+                "ts_ms": ts,
+                "operation": "delete",
+                "files": kept + new_files,
+                "new_files": new_files,
+                "rewritten_files": touched,
+                "schema": pm.get("schema"),
+                "stats": {
+                    **{f: stats[f] for f in kept if f in stats},
+                    **_file_column_stats(new_files),
+                },
+            }
+            with open(self._manifest_path(table, snap_id), "w") as f:
+                json.dump(manifest, f, indent=1)
+            self._write_current(table, snap_id)
+            return snap_id
+        finally:
+            self._release_commit_lock(lock)
+
     def _acquire_commit_lock(self, table: str, timeout_s: float = 60.0) -> str:
         """Single-writer commit section (a real catalog does an atomic
         swap with conflict retry; on a plain filesystem an O_EXCL lock

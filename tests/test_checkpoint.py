@@ -580,3 +580,45 @@ def test_snapshot_read_prunes_multi_predicate_zorder(spark, tmp_path):
         r["id"] for r in truth.collect()
     )
     assert len(pruned.inputFiles()) <= n_files // 2  # both dims pruned
+
+
+def test_snapshot_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write delete: only files whose bounds overlap the predicate
+    are rewritten; the rest carry forward by reference; the parent
+    snapshot still time-travels to pre-delete data; a predicate touching
+    nothing is a metadata no-op."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    df = (
+        spark.range(0, 8000)
+        .withColumn("k", F.col("id"))
+        .withColumn("v", F.md5(F.col("id").cast("string")))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    s1 = cat.write(df, "t", mode="overwrite")
+    m1 = cat.manifest("t", s1)
+    n_files = len(m1["files"])
+    assert n_files > 4
+
+    s2 = cat.delete_where(spark, "t", ("k", "<", 900))
+    m2 = cat.manifest("t", s2)
+    assert m2["operation"] == "delete"
+    # only the low-range file(s) were rewritten
+    assert 1 <= len(m2["rewritten_files"]) <= 2, m2["rewritten_files"]
+    untouched = set(m1["files"]) - set(m2["rewritten_files"])
+    assert untouched < set(m2["files"])  # carried forward by reference
+    # data: exactly the matching rows are gone
+    now = cat.read(spark, "t")
+    assert now.count() == 8000 - 900
+    assert now.filter(F.col("k") < 900).count() == 0
+    # time travel: the parent still has them
+    assert cat.read(spark, "t", s1).count() == 8000
+    # stats survive for untouched files and cover the rewrites: a pruned
+    # read over the post-delete snapshot still skips files
+    hi = cat.read(spark, "t", where=("k", ">=", 7000))
+    assert hi.count() == 1000
+    assert len(hi.inputFiles()) < len(m2["files"])
+    # no-op predicate: current snapshot unchanged
+    assert cat.delete_where(spark, "t", ("k", "<", -5)) == s2
