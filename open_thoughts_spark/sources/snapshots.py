@@ -248,6 +248,85 @@ class SnapshotCatalog:
         finally:
             self._release_commit_lock(lock)
 
+    def merge_rows(
+        self, spark: SparkSession, table: str, df: DataFrame, key_col: str
+    ) -> str:
+        """Copy-on-write MERGE (upsert by key): every row of ``df`` replaces
+        the table's same-key row, or inserts if the key is new — in ONE new
+        snapshot that rewrites only the files whose ``key_col`` bounds
+        overlap the incoming keys' [min, max]; all other files carry
+        forward by reference, and the parent snapshot still time-travels.
+
+        The re-scored-slice case: re-running the quality filter over one
+        day's conversations must not rewrite the table — with the output
+        clustered on the key, the incoming key range bounds a few files.
+        Files with unknown bounds are conservatively rewritten. The anti-
+        join that drops superseded rows broadcasts the incoming keys (the
+        upsert slice is small by construction; AQE decides otherwise).
+        A far-away insert key widens [min, max] and with it the rewrite —
+        append pure inserts with ``write(mode="append")`` and merge only
+        the updates, or merge per key-locality slice.
+        """
+        lock = self._acquire_commit_lock(table)
+        try:
+            parent = self.current_snapshot(table)
+            if parent is None:
+                raise ValueError(f"table has no snapshots: {table}")
+            pm = self.manifest(table, parent)
+            stats = pm.get("stats", {})
+            krange = df.agg(
+                F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            ).collect()[0]
+            if krange["lo"] is None:
+                return parent  # empty upsert: metadata no-op
+            touched = [
+                f
+                for f in pm["files"]
+                if _bounds_may_match(stats.get(f, {}).get(key_col), ">=", krange["lo"])
+                and _bounds_may_match(stats.get(f, {}).get(key_col), "<=", krange["hi"])
+            ]
+            keys = df.select(key_col)
+            if touched:
+                remaining = spark.read.parquet(*touched).join(
+                    keys, on=key_col, how="left_anti"
+                )
+                out = remaining.unionByName(df)
+            else:
+                out = df
+
+            ts = int(time.time() * 1000)
+            snap_id = hashlib.md5(
+                f"{table}|{parent}|{ts}|merge|{key_col}".encode()
+            ).hexdigest()[:16]
+            data_dir = os.path.join(self._tdir(table), "data", f"snap-{snap_id}")
+            out.write.mode("errorifexists").parquet(data_dir)
+            new_files = sorted(
+                os.path.join(data_dir, fn)
+                for fn in os.listdir(data_dir)
+                if fn.endswith(".parquet")
+            )
+            kept = [f for f in pm["files"] if f not in set(touched)]
+            manifest = {
+                "snapshot_id": snap_id,
+                "parent": parent,
+                "ts_ms": ts,
+                "operation": "merge",
+                "files": kept + new_files,
+                "new_files": new_files,
+                "rewritten_files": touched,
+                "schema": pm.get("schema"),
+                "stats": {
+                    **{f: stats[f] for f in kept if f in stats},
+                    **_file_column_stats(new_files),
+                },
+            }
+            with open(self._manifest_path(table, snap_id), "w") as f:
+                json.dump(manifest, f, indent=1)
+            self._write_current(table, snap_id)
+            return snap_id
+        finally:
+            self._release_commit_lock(lock)
+
     def _acquire_commit_lock(self, table: str, timeout_s: float = 60.0) -> str:
         """Single-writer commit section (a real catalog does an atomic
         swap with conflict retry; on a plain filesystem an O_EXCL lock

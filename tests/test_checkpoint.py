@@ -622,3 +622,53 @@ def test_snapshot_delete_where_rewrites_only_touched_files(spark, tmp_path):
     assert len(hi.inputFiles()) < len(m2["files"])
     # no-op predicate: current snapshot unchanged
     assert cat.delete_where(spark, "t", ("k", "<", -5)) == s2
+
+
+def test_snapshot_merge_rows_upserts_by_key(spark, tmp_path):
+    """Copy-on-write MERGE: same-key rows replaced, new keys inserted, in
+    one snapshot that rewrites only key-range-overlapping files; parent
+    time-travels to pre-merge data; empty upsert is a no-op."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    base = (
+        spark.range(0, 8000)
+        .withColumn("k", F.col("id"))
+        .withColumn("v", F.lit("old"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    s1 = cat.write(base.drop("id"), "t", mode="overwrite")
+    m1 = cat.manifest("t", s1)
+    assert len(m1["files"]) > 4
+
+    up = spark.createDataFrame(
+        [(k, "new") for k in range(100, 200)] + [(9_000_001, "ins")],
+        "k long, v string",
+    )
+    s2 = cat.merge_rows(spark, "t", up, "k")
+    m2 = cat.manifest("t", s2)
+    assert m2["operation"] == "merge"
+    # the upsert range spans [100, 9000001]... the insert key widens the
+    # range past every file, so bounds-overlap touches all files whose hi
+    # >= 100 — i.e. all. Redo with a NARROW update first for the pruning
+    # claim; this merge still must be CORRECT:
+    now = cat.read(spark, "t")
+    assert now.count() == 8001
+    assert now.filter(F.col("v") == "new").count() == 100
+    assert now.filter(F.col("k") == 9_000_001).count() == 1
+    assert now.filter((F.col("k") == 150) & (F.col("v") == "old")).count() == 0
+    assert cat.read(spark, "t", s1).filter(F.col("v") == "old").count() == 8000
+
+    # narrow-range update: only the overlapping file(s) rewritten
+    up2 = spark.createDataFrame([(k, "newer") for k in range(0, 50)], "k long, v string")
+    s3 = cat.merge_rows(spark, "t", up2, "k")
+    m3 = cat.manifest("t", s3)
+    # files from the s2 snapshot whose k-bounds exclude [0,50) survive
+    assert len(m3["rewritten_files"]) < len(m2["files"]), (
+        len(m3["rewritten_files"]), len(m2["files"])
+    )
+    assert cat.read(spark, "t").filter(F.col("v") == "newer").count() == 50
+    assert cat.read(spark, "t").count() == 8001
+    # empty upsert: metadata no-op
+    assert cat.merge_rows(spark, "t", up2.limit(0), "k") == s3
