@@ -175,6 +175,40 @@ class SnapshotCatalog:
         finally:
             self._release_commit_lock(lock)
 
+    def append_batch(
+        self, df: DataFrame, table: str, batch_id: int
+    ) -> str | None:
+        """Idempotent streaming append: commit micro-batch ``batch_id`` as
+        an append snapshot, or SKIP it (returning None) if a snapshot on
+        the current chain already committed this batch — the exactly-once
+        contract Structured Streaming expects of a sink (after a failure
+        the engine replays the last batch; a second commit would double
+        its rows). The committed batch id rides in the manifest and is
+        inherited forward, so the check is one manifest read under the
+        commit lock — the Iceberg streaming-commit mechanism in miniature.
+        """
+        lock = self._acquire_commit_lock(table)
+        try:
+            parent = self.current_snapshot(table)
+            if parent is not None:
+                last = self.manifest(table, parent).get("stream_batch_id")
+                if last is not None and batch_id <= last:
+                    return None
+            mode = "append" if parent else "overwrite"
+            return self._write_locked(df, table, mode, batch_id=batch_id)
+        finally:
+            self._release_commit_lock(lock)
+
+    def foreach_batch_appender(self, table: str):
+        """``writeStream.foreachBatch`` adapter for :meth:`append_batch`:
+        ``stream.writeStream.foreachBatch(cat.foreach_batch_appender("t"))``
+        gives a snapshot-versioned, replay-safe streaming sink."""
+
+        def _append(df: DataFrame, batch_id: int) -> None:
+            self.append_batch(df, table, batch_id)
+
+        return _append
+
     def delete_where(
         self, spark: SparkSession, table: str, where: tuple | list
     ) -> str:
@@ -352,7 +386,9 @@ class SnapshotCatalog:
         except FileNotFoundError:
             pass
 
-    def _write_locked(self, df: DataFrame, table: str, mode: str) -> str:
+    def _write_locked(
+        self, df: DataFrame, table: str, mode: str, batch_id: int | None = None
+    ) -> str:
         parent = self.current_snapshot(table)
         ts = int(time.time() * 1000)
         snap_id = hashlib.md5(
@@ -367,10 +403,12 @@ class SnapshotCatalog:
         )
         files = list(new_files)
         stats = _file_column_stats(new_files)
+        last_batch = None
         if mode == "append" and parent:
             pm = self.manifest(table, parent)
             files = pm["files"] + files
             stats = {**pm.get("stats", {}), **stats}
+            last_batch = pm.get("stream_batch_id")
         manifest = {
             "snapshot_id": snap_id,
             "parent": parent,
@@ -383,6 +421,9 @@ class SnapshotCatalog:
             # pruning; same contract here (parquet footer min/max, JSON-
             # safe types only)
             "stats": stats,
+            # highest committed streaming micro-batch, inherited forward
+            # (append_batch's exactly-once dedup check)
+            "stream_batch_id": batch_id if batch_id is not None else last_batch,
         }
         os.makedirs(os.path.dirname(self._manifest_path(table, snap_id)), exist_ok=True)
         with open(self._manifest_path(table, snap_id), "w") as f:

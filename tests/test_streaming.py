@@ -309,3 +309,31 @@ def test_cli_streaming_requires_output():
 
     with pytest.raises(SystemExit):
         main(["--input", "/nonexistent", "--streaming"])
+
+
+def test_catalog_foreach_batch_appender_exactly_once(spark, tmp_path):
+    """The catalog streaming sink must commit each micro-batch once: a
+    replayed batch id (Structured Streaming's failure contract) is a
+    no-op, non-stream writes carry the committed id forward, and the
+    snapshot history shows one append per batch."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    sink = cat.foreach_batch_appender("events")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id int, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert cat.read(spark, "events").count() == 3
+    # replay after simulated failure: batch 1 arrives again -> skipped
+    sink(b1, 1)
+    assert cat.read(spark, "events").count() == 3
+    assert cat.append_batch(b1, "events", 0) is None  # older batch too
+    # a fresh batch commits
+    assert cat.append_batch(b1, "events", 2) is not None
+    assert cat.read(spark, "events").count() == 4
+    # an interleaved BATCH append inherits the stream position
+    cat.write(spark.createDataFrame([(9, "z")], "id int, v string"), "events")
+    assert cat.append_batch(b1, "events", 2) is None  # still deduped
+    assert cat.append_batch(b1, "events", 3) is not None
+    assert cat.read(spark, "events").count() == 6
