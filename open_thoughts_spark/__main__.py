@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
         "batches). Writes kept turns to --output/filtered_stream",
     )
     p.add_argument(
+        "--catalog-table",
+        metavar="NAME",
+        help="with --streaming: sink kept turns through the snapshot "
+        "catalog (at --output/catalog) as exactly-once micro-batch append "
+        "snapshots instead of a raw parquet dir — replayed batches are "
+        "skipped, and the curated stream gets time travel/rollback",
+    )
+    p.add_argument(
         "--cluster-output",
         metavar="COLS",
         help="comma-separated columns to range-cluster the filtered output "
@@ -67,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--rollback-to requires --checkpoint-dir")
     if args.streaming and not args.output:
         p.error("--streaming requires --output")
+    if args.catalog_table and not args.streaming:
+        p.error("--catalog-table is the streaming sink; use --streaming")
     if args.streaming and args.cluster_output:
         p.error(
             "--cluster-output applies to the batch filtered table; a stream "
@@ -91,26 +101,31 @@ def main(argv: list[str] | None = None) -> int:
 
         out = f"{args.output}/filtered_stream"
         ckpt = f"{args.checkpoint_dir or args.output}/_stream_ckpt"
+        cat = None
+        if args.catalog_table:
+            from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+            cat = SnapshotCatalog(f"{args.output}/catalog")
         q = stream_quality_filter(
             read_transcripts_stream(spark, args.input),
             out,
             ckpt,
             langid_mode=args.langid_mode,
+            catalog=cat,
+            catalog_table=args.catalog_table,
         )
         q.awaitTermination()
-        kept = spark.read.parquet(out).count()
-        elapsed = time.time() - t0
-        print(
-            json.dumps(
-                {
-                    "mode": "streaming",
-                    "kept_total": kept,
-                    "elapsed_sec": round(elapsed, 2),
-                    "output": out,
-                    "stream_checkpoint": ckpt,
-                }
-            )
-        )
+        result = {"mode": "streaming", "stream_checkpoint": ckpt}
+        if cat is not None:
+            result["kept_total"] = cat.read(spark, args.catalog_table).count()
+            result["catalog_table"] = args.catalog_table
+            result["snapshot"] = cat.current_snapshot(args.catalog_table)
+            result["output"] = f"{args.output}/catalog"
+        else:
+            result["kept_total"] = spark.read.parquet(out).count()
+            result["output"] = out
+        result["elapsed_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(result))
         return 0
 
     resumed = []

@@ -42,23 +42,38 @@ def stream_quality_filter(
     checkpoint_path: str,
     langid_mode: str = "native",
     available_now: bool = True,
+    catalog=None,
+    catalog_table: str | None = None,
 ):
     """Score → decide → scrub on the stream; append kept turns to parquet.
 
     ``available_now=True`` drains everything currently in the source and
     stops — the testable/batch-catchup trigger; continuous deployments drop
-    it for the default micro-batch trigger."""
+    it for the default micro-batch trigger.
+
+    Pass ``catalog`` (a ``SnapshotCatalog``) + ``catalog_table`` to sink
+    through the exactly-once snapshot appender instead of a raw parquet
+    dir: each micro-batch commits as an append snapshot, replayed batches
+    after failure recovery are skipped via the manifest's committed batch
+    id, and the curated stream gets time travel/rollback for free.
+    """
     decided = quality_filter(
         stream_df, langid_mode=langid_mode, with_turn_order=False
     ).select(*RESULT_COLUMNS)
-    writer = (
-        decided.filter(F.col("keep"))
-        .drop("keep", "drop_reason")
-        .writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-    )
+    kept = decided.filter(F.col("keep")).drop("keep", "drop_reason")
+    if catalog is not None:
+        if not catalog_table:
+            raise ValueError("catalog sink needs catalog_table")
+        writer = kept.writeStream.foreachBatch(
+            catalog.foreach_batch_appender(catalog_table)
+        ).option("checkpointLocation", checkpoint_path)
+    else:
+        writer = (
+            kept.writeStream.format("parquet")
+            .option("path", output_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

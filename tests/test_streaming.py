@@ -337,3 +337,46 @@ def test_catalog_foreach_batch_appender_exactly_once(spark, tmp_path):
     assert cat.append_batch(b1, "events", 2) is None  # still deduped
     assert cat.append_batch(b1, "events", 3) is not None
     assert cat.read(spark, "events").count() == 6
+
+
+def test_stream_quality_filter_catalog_sink(spark, transcripts_path, tmp_path):
+    """Streaming QF through the exactly-once catalog sink: kept totals
+    equal the batch pipeline, a rerun over unchanged input adds no rows
+    and mints no snapshot."""
+    from open_thoughts_spark.pipeline import quality_filter as batch_qf
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+    from open_thoughts_spark.streaming.pipeline import (
+        read_transcripts_stream,
+        stream_quality_filter,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = stream_quality_filter(
+            read_transcripts_stream(spark, transcripts_path),
+            str(tmp_path / "unused"),
+            ckpt,
+            langid_mode="udf",
+            catalog=cat,
+            catalog_table="kept",
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = cat.read(spark, "kept").count()
+    s1 = cat.current_snapshot("kept")
+    batch_kept = (
+        batch_qf(
+            spark.read.parquet(transcripts_path),
+            langid_mode="udf",
+            with_turn_order=False,
+        )
+        .filter(F.col("keep"))
+        .count()
+    )
+    assert n1 == batch_kept > 0
+    drain()  # unchanged input: file-source checkpoint yields no batches
+    assert cat.read(spark, "kept").count() == n1
+    assert cat.current_snapshot("kept") == s1
