@@ -1884,14 +1884,15 @@ def q_ann_lsh(spark, sf_dir):
     projections), so bucketing + multiprobe + in-bucket cosine replay
     exactly in DuckDB (was rows-only in r1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
     # no min_parallelism spread here (VERDICT r3 #7 A/B): the LSH projection
     # map is integer-light, so at sf0.1 the repartition shuffle costs more
     # than the parallel map buys (warm 1.43 vs 1.17 s measured). knn keeps
     # its spread — its brute-force map is heavy enough to win.
-    return similarity.ann_lsh_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    # query_pred (r6): the query set is a corpus subset, so bucket once and
+    # share the exchange — one Python stage and one scan instead of two.
+    return similarity.ann_lsh_topk(
+        emb, None, k=5, query_pred=F.col("vec_id") < 10
+    ).select("query_id", "neighbor_id", "rank")
 
 
 ANN_WS = "[ \\t\\n\\x0B\\f\\r]+"

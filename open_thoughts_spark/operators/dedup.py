@@ -172,6 +172,48 @@ def oversize_band_buckets(
     )
 
 
+def bucket_pairs(
+    bands_df: DataFrame,
+    key_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    id_col: str,
+) -> DataFrame:
+    """All (a, b) struct pairs with ``a.id < b.id`` within each bucket,
+    via ONE shuffle: gather each bucket's rows with ``collect_list`` and
+    enumerate pairs with a double explode — no self-join.
+
+    Why not a self-join on the bucket key (the r2-r5 shape): a self-join
+    computes the band/signature lineage once per side unless materialized.
+    The r3-r5 lazy ``localCheckpoint`` barrier fixed that but cost 2-5 s of
+    driver-side plan-conversion + codegen at DataFrame BUILD time per call
+    (measured r6 — the dominant cost of every dedup bench query), and the
+    r6 repartition-for-exchange-reuse attempt found AQE in Spark 4.1 does
+    not reuse canonically-equal sibling exchanges at runtime (verified on a
+    minimal self-join: two ShuffleQueryStages materialized; the static
+    planner's ReuseExchange does fire, but AQE replans). The gather form
+    needs no sharing at all: one exchange keyed exactly like the old join,
+    lineage computed once in its map side, and the same |bucket|² pair
+    enumeration the join did — as a double explode instead of a hash probe
+    (guide §8: decide with one gather). Null-keyed rows are dropped first,
+    matching equi-join semantics. Memory: a bucket must fit in one
+    ``collect_list`` — the same regime where the join's output was
+    quadratic; use :func:`cap_band_buckets` upstream (its window shares
+    this exchange's key, so capping adds no shuffle).
+    """
+    key = [F.col(c) for c in key_cols]
+    row = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
+    buckets = (
+        bands_df.filter(F.col(key_cols[-1]).isNotNull())
+        .groupBy(*key)
+        .agg(F.collect_list(row).alias("_rows"))
+    )
+    return (
+        buckets.select(F.explode("_rows").alias("_a"), "_rows")
+        .select("_a", F.explode("_rows").alias("_b"))
+        .filter(F.col(f"_a.{id_col}") < F.col(f"_b.{id_col}"))
+    )
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str,
@@ -180,27 +222,22 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs colliding in at least one band.
 
-    ``materialize`` lazily checkpoints the band table so the self-join's
-    two sides don't each recompute the whole signature lineage.
-    ``max_bucket_size`` drops degenerate band buckets before the self-join
-    (:func:`cap_band_buckets` — the web-scale skew guard). The cap runs
-    BEFORE the checkpoint so its window computes once; applied after, both
-    join sides would re-run the window + its exchange (measured: 6
-    exchanges / 2 windows vs 3 / 1)."""
+    One shuffle keyed on (band_idx, band_key): buckets are gathered and
+    pairs enumerated in place (:func:`bucket_pairs`) — the signature
+    lineage computes exactly once, with no self-join, no checkpoint and no
+    exchange-reuse dependence. ``max_bucket_size`` drops degenerate band
+    buckets first (:func:`cap_band_buckets` — the web-scale skew guard);
+    its window keys on the same columns, so capping shares this shuffle.
+    ``materialize`` is retained for API compatibility: the gather shape
+    computes the lineage once either way."""
     if max_bucket_size is not None:
         bands_df = cap_band_buckets(bands_df, max_bucket_size)
-    if materialize:
-        bands_df = bands_df.localCheckpoint(eager=False)
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_key"
-    )
-    b = bands_df.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_key"
-    )
     return (
-        a.join(b, on=["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucket_pairs(bands_df, ("band_idx", "band_key"), (), id_col)
+        .select(
+            F.col(f"_a.{id_col}").alias("id_a"),
+            F.col(f"_b.{id_col}").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -219,11 +256,18 @@ def jaccard_pairs(
     (b) all pairs sharing >= 1 shingle (optionally within ``block_col``).
 
     Returns (id_a, id_b, common, size_a, size_b, jaccard). The exploded
-    shingle table feeds up to three branches (sh_a, sh_b, sizes) — it is
+    shingle table feeds the two join branches (sh_a, sh_b) — it is
     recomputed per branch by design (materializing exploded shingles at
     web scale costs more than recomputing the narrow map); pass
     ``min_parallelism`` so each recompute at least runs wide on
-    single-file inputs.
+    single-file inputs. Per-doc set sizes do NOT re-explode the shingles
+    (that was a second full explode feeding a groupBy): the exploded row
+    count per id is by construction the sum of ``size(shingles_expr(...))``
+    over that id's rows, so the aggregation runs on ONE narrow (id, int)
+    row per input row — the shuffle carries ids and counts, never shingles
+    (guide §2.3). The groupBy is kept (not a bare per-row projection) so
+    inputs with duplicate ids keep the exact r5 semantics: sizes are
+    summed per id.
     """
     df = spread(df, min_parallelism, F.col(id_col))
     sh = df.select(
@@ -231,7 +275,14 @@ def jaccard_pairs(
         *( [F.col(block_col)] if block_col else [] ),
         F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    sizes = (
+        df.select(
+            F.col(id_col),
+            F.size(shingles_expr(F.col(text_col), shingle_n)).alias("_sz"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_sz").alias("_n"))
+    )
     if pairs is not None:
         # candidate pushdown: verification cost ∝ candidate pairs, NOT the
         # quadratic blowup of self-joining on hot shingles ("the", common
@@ -499,17 +550,23 @@ def simhash32(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("_w")
     ).filter(F.col("_w") != "")
     w = w.withColumn("_h", F.md5(F.col("_w")))
+    # the 32 ±1 sums and the 32-term fingerprint pack are built as SQL
+    # strings parsed JVM-side in one call each: constructing them with
+    # per-op Column methods costs ~1 py4j round trip per node (~0.5 s of
+    # driver wall per plan build, measured r6) for the same expression tree
     aggs = [
-        F.sum(
-            F.when(F.ascii(F.substring(F.col("_h"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(case when ascii(substring(_h, {j + 1}, 1)) % 2 = 1 "
+            f"then 1 else -1 end)"
         ).alias(f"_s{j}")
         for j in range(32)
     ]
     sums = w.groupBy(id_col).agg(*aggs)
-    fp = None
-    for j in range(32):
-        bit = F.when(F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else (fp + bit)
+    fp = F.expr(
+        " + ".join(
+            f"(case when _s{j} > 0 then {2**j}L else 0L end)" for j in range(32)
+        )
+    )
     return sums.select(F.col(id_col), fp.alias(out_col))
 
 
@@ -536,14 +593,11 @@ def simhash_neardup_pairs(
     ``bits=32, bands=4`` each band key is only 8 bits (256 buckets), which
     goes quadratic past ~10^7 docs — use :func:`simhash64` +
     :func:`simhash64_neardup_pairs` (16-bit band keys) at web scale.
+    ``materialize`` is retained for API compatibility: the r6 bucket-gather
+    shape computes the fingerprint lineage once either way.
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for exact pigeonhole recall")
-    if materialize and max_bucket_size is None:
-        # fp feeds both sides of the self-join (see simhash64_neardup_pairs);
-        # with a bucket cap the checkpoint moves AFTER the cap's window so
-        # that too computes once
-        fp = fp.localCheckpoint(eager=False)
     width = bits // bands
     mask = (1 << width) - 1
     pieces = [
@@ -562,22 +616,18 @@ def simhash_neardup_pairs(
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
         )
-        if materialize:
-            banded = banded.localCheckpoint(eager=False)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(fp_col).alias("_fa"),
-        "band_idx", "band_val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(fp_col).alias("_fb"),
-        "band_idx", "band_val",
-    )
+    # one shuffle: gather each band bucket, enumerate pairs in place — the
+    # fingerprint lineage computes exactly once (see bucket_pairs; replaced
+    # the r3-r5 localCheckpointed self-join whose driver-side plan
+    # conversion dominated this operator's bench cost)
+    pairs = bucket_pairs(banded, ("band_idx", "band_val"), (fp_col,), id_col)
     return (
-        a.join(b, on=["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming32(F.col("_fa"), F.col("_fb")))
+        pairs.select(
+            F.col(f"_a.{id_col}").alias("id_a"),
+            F.col(f"_b.{id_col}").alias("id_b"),
+            hamming32(F.col(f"_a.{fp_col}"), F.col(f"_b.{fp_col}")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
         .distinct()
     )
 
@@ -638,31 +688,32 @@ def simhash64(
     # enough aggregates fall out of whole-stage codegen, and the packed
     # form measured 6x faster at sf0.1 with bit-identical output. The
     # positional sign is recovered as 2*ones - n_words > 0. Lane capacity
-    # 2^32 words/doc before overflow.
-    def _bit(src: str, j: int) -> Column:
-        return F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
-
+    # 2^32 words/doc before overflow. All wide expressions are SQL strings
+    # parsed JVM-side (one py4j call each, not one per node — the per-op
+    # Column API cost ~1 s of driver wall per plan build here, measured r6).
     aggs = [F.count(F.lit(1)).alias("_n")]
     for src, half in (("_c0", "lo"), ("_c1", "hi")):
         for i in range(16):
-            packed = _bit(src, 2 * i) + F.shiftleft(_bit(src, 2 * i + 1), 32)
-            aggs.append(F.sum(packed).alias(f"_{half}p{i}"))
+            aggs.append(
+                F.expr(
+                    f"sum((shiftright({src}, {2 * i}) & 1) + "
+                    f"shiftleft(shiftright({src}, {2 * i + 1}) & 1, 32))"
+                ).alias(f"_{half}p{i}")
+            )
     sums = w.groupBy(id_col).agg(*aggs)
-    lane_mask = F.lit((1 << 32) - 1)
+    lane_mask = (1 << 32) - 1
 
     def _pack(half: str) -> Column:
-        fp = None
+        terms = []
         for i in range(16):
             for j, ones in (
-                (2 * i, F.col(f"_{half}p{i}").bitwiseAND(lane_mask)),
-                (2 * i + 1, F.shiftright(F.col(f"_{half}p{i}"), 32)),
+                (2 * i, f"(_{half}p{i} & {lane_mask})"),
+                (2 * i + 1, f"shiftright(_{half}p{i}, 32)"),
             ):
-                bit = (
-                    F.when(2 * ones - F.col("_n") > 0, F.lit(2**j).cast("long"))
-                    .otherwise(F.lit(0).cast("long"))
+                terms.append(
+                    f"(case when 2 * {ones} - _n > 0 then {2**j}L else 0L end)"
                 )
-                fp = bit if fp is None else fp + bit
-        return fp
+        return F.expr(" + ".join(terms))
 
     return sums.select(F.col(id_col), _pack("hi").alias(hi_col), _pack("lo").alias(lo_col))
 
@@ -689,20 +740,15 @@ def simhash64_neardup_pairs(
     loss; the oracle query proves it against the unblocked all-pairs truth).
     Each band key is 16 bits -> 65,536 buckets per band, so bucket occupancy
     stays ~N/65k at any corpus size (the r2 verdict's 100x caveat on the
-    8-bit simhash32 bands, fixed).
+    8-bit simhash32 bands, fixed). ``materialize`` is retained for API
+    compatibility: the r6 bucket-gather shape computes the fingerprint
+    lineage once either way.
     """
     if max_hamming > 3:
         raise ValueError(
             "4x16-bit bands guarantee recall only for max_hamming <= 3; "
             "use more/narrower bands for a larger radius"
         )
-    if materialize and max_bucket_size is None:
-        # fp feeds BOTH sides of the self-join; without materialization the
-        # broadcast-join plan recomputes the whole fingerprint lineage
-        # (scan + word explode + md5 x2 + agg) twice. Lazy localCheckpoint
-        # computes it once and serves both sides. With a bucket cap the
-        # checkpoint moves AFTER the cap's window so that too computes once.
-        fp = fp.localCheckpoint(eager=False)
     mask = F.lit((1 << 16) - 1)
     band_vals = [
         F.col(lo_col).bitwiseAND(mask),
@@ -724,25 +770,23 @@ def simhash64_neardup_pairs(
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
         )
-        if materialize:
-            banded = banded.localCheckpoint(eager=False)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(hi_col).alias("_ha"),
-        F.col(lo_col).alias("_la"), "band_idx", "band_val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(hi_col).alias("_hb"),
-        F.col(lo_col).alias("_lb"), "band_idx", "band_val",
-    )
+    # one shuffle: gather each band bucket, enumerate pairs in place — the
+    # fingerprint lineage (scan + word explode + md5 x2 + packed agg)
+    # computes exactly once, in the map side of that single exchange (see
+    # bucket_pairs; replaced the r3-r5 localCheckpointed self-join whose
+    # driver-side plan conversion + codegen was most of this query's
+    # measured bench cost)
+    pairs = bucket_pairs(banded, ("band_idx", "band_val"), (hi_col, lo_col), id_col)
     return (
-        a.join(b, on=["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming",
-            hamming64(F.col("_ha"), F.col("_la"), F.col("_hb"), F.col("_lb")),
+        pairs.select(
+            F.col(f"_a.{id_col}").alias("id_a"),
+            F.col(f"_b.{id_col}").alias("id_b"),
+            hamming64(
+                F.col(f"_a.{hi_col}"), F.col(f"_a.{lo_col}"),
+                F.col(f"_b.{hi_col}"), F.col(f"_b.{lo_col}"),
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
         .distinct()
     )
 
@@ -787,7 +831,22 @@ def weighted_jaccard_pairs(
         .groupBy(id_col, "_sh")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
-    sizes = tf.groupBy(id_col).agg(F.sum("_tf").alias("_n"))
+    # |x| = total (non-distinct) shingle count: sum(tf) over a doc's groups
+    # is by construction the exploded row count = the shingle array's size,
+    # so the sizes aggregate runs over one narrow (id, int) row per input
+    # row instead of a second aggregation over the tf table — the shuffle
+    # carries ids and counts, never shingles (guide §2.3). groupBy kept so
+    # duplicate-id inputs keep the exact per-id-sum semantics.
+    sizes = (
+        df.select(
+            F.col(id_col),
+            F.size(
+                shingles_expr(F.col(text_col), shingle_n, distinct=False)
+            ).alias("_sz"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_sz").alias("_n"))
+    )
     tf_a = tf.select(F.col(id_col).alias("id_a"), "_sh", F.col("_tf").alias("_tfa"))
     tf_b = tf.select(F.col(id_col).alias("id_b"), "_sh", F.col("_tf").alias("_tfb"))
     if pairs is not None:

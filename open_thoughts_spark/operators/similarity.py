@@ -55,6 +55,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+
 def topk_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
 ) -> DataFrame:
@@ -228,17 +229,24 @@ def cosine_pairs_banded(
         as_double(F.col(vec_col)).alias("_v"),
         F.explode(F.array(*pieces)).alias("_b"),
     ).select(id_col, "_v", "_b.band_idx", "_b.band_val")
-    if max_bucket_size is not None:
+    materialize = max_bucket_size is not None
+    if materialize:
         # skew guard: one degenerate sign pattern (e.g. the zero vector's
         # all-positive band) would otherwise self-join quadratically; see
-        # dedup.cap_band_buckets for the trade. Checkpoint after the cap so
-        # the window (and the pandas-UDF sign lineage under it) computes
-        # once instead of per join side.
+        # dedup.cap_band_buckets for the trade. The repartition puts ONE
+        # reused exchange on the join key, so the cap's window (same key)
+        # and the sign-projection lineage compute once, not per join side
+        # (r6: replaced the lazy localCheckpoint, whose driver-side plan
+        # conversion dominated build time). In the UNCAPPED path the two
+        # sides recompute the projection instead: an r6 A/B measured the
+        # corpus-wide (id, band, vector) shuffle at +2.3 s warm vs +0 for
+        # the duplicate lineage — the vectors outweigh the sign map.
         from open_thoughts_spark.operators.dedup import cap_band_buckets
 
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
-        ).localCheckpoint(eager=False)
+        )
+        banded = banded.repartition(F.col("band_idx"), F.col("band_val"))
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
         "band_idx", "band_val",
@@ -247,6 +255,8 @@ def cosine_pairs_banded(
         F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
         "band_idx", "band_val",
     )
+    if materialize:
+        b = b.hint("shuffle_hash")
     return (
         a.join(b, on=["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -492,13 +502,14 @@ def ann_ivf_topk(
 
 def ann_lsh_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
     multiprobe: int = 1,
     min_parallelism: int | None = None,
+    query_pred: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides, exact cosine within bucket.
 
@@ -506,10 +517,27 @@ def ann_lsh_topk(
     query fans out to 1 + C(n_planes, ≤m) buckets — the standard multi-probe
     LSH recall/cost dial). Recall < 1.0 by construction; the bucket join
     replaces the cross join so cost scales with bucket occupancy, not corpus
-    size."""
+    size.
+
+    ``query_pred`` (instead of ``queries``) declares the query set as a
+    predicate over the corpus (the self-query case): the query side is the
+    bucketed corpus filtered by the predicate — with parquet predicate
+    pushdown its re-scan reads only matching row groups. (An r6 A/B also
+    tried bucketing once behind a repartition shared by both join sides:
+    the corpus-wide shuffle of (id, bucket, vector) cost more than the
+    duplicate filtered scan it saved — ann_lsh warm 1.5 → 2.5 s; reverted.)
+
+    A (query, neighbor) pair can match in at most ONE probed bucket — the
+    corpus row has a single bucket and the probe masks are distinct, so
+    XOR-ing them into a query's bucket yields distinct probe values. No
+    dedup step is needed (r6: dropped the redundant dropDuplicates
+    exchange this operator carried since r2)."""
     corpus = spread(corpus, min_parallelism, F.col(id_col))
     cb = with_lsh_bucket(corpus, vec_col, n_planes)
-    qb = with_lsh_bucket(queries, vec_col, n_planes)
+    if query_pred is not None:
+        qb = cb.filter(query_pred)
+    else:
+        qb = with_lsh_bucket(queries, vec_col, n_planes)
     if multiprobe > 0:
         # fan the query side out to nearby buckets (corpus side stays 1 row)
         flips = [F.col("lsh_bucket").cast("long")]
@@ -538,8 +566,6 @@ def ann_lsh_topk(
     sim = (
         c.join(q, on="lsh_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        # multiprobe can surface the same pair via several buckets
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("_sim6", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6))
     )
     return topk_per_group(

@@ -311,11 +311,11 @@ def test_minhash_signature_single_shuffle(spark, tmp_path):
 
 
 def test_bucket_cap_window_computes_once(spark, tmp_path):
-    """The skew-guard cap must not grow the candidate-pairs plan: capping
-    before the lazy checkpoint keeps the window out of BOTH join sides, so
-    the executed plan has the same exchange count as the uncapped join and
-    zero inline Window nodes (the window runs once, inside the checkpoint
-    job)."""
+    """The skew-guard cap must not grow the candidate-pairs plan: the cap
+    window keys on the same (band_idx, band_key) the bucket-gather
+    aggregation shuffles on, so capping adds exactly ONE Window operator
+    and ZERO exchanges over the uncapped plan (the window shares the
+    gather's exchange), and the pair enumeration stays join-free."""
     from open_thoughts_spark.operators import dedup
 
     p = str(tmp_path / "docs")
@@ -330,11 +330,14 @@ def test_bucket_cap_window_computes_once(spark, tmp_path):
 
     def shape(cap):
         df = dedup.candidate_pairs(bands, "doc_id", max_bucket_size=cap)
-        df.count()  # force the checkpoint so the executed plan is final
+        df.count()
         s = df._jdf.queryExecution().executedPlan().toString()
-        return s.count("Exchange"), s.count("Window")
+        return s.count("Exchange"), s.count("Window"), s.count("Join")
 
-    assert shape(2) == shape(None)
+    capped, uncapped = shape(2), shape(None)
+    assert uncapped[1] == 0 and capped[1] == 1  # one window, shared exchange
+    assert capped[0] == uncapped[0]  # cap adds no exchange
+    assert capped[2] == uncapped[2] == 0  # pair enumeration is join-free
 
 
 def test_token_budget_sampler_broadcasts_totals(spark, tmp_path):
