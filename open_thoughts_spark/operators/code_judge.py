@@ -109,15 +109,18 @@ def _set_limits(timeout_s: float = DEFAULT_TIMEOUT_S) -> None:  # pragma: no cov
 
 
 def _run_subprocess(
-    program: str, stdin_text: str, timeout_s: float, workdir: str
+    program: str | None, stdin_text: str, timeout_s: float, workdir: str
 ) -> tuple[int, str]:
     """One sandboxed execution: fresh ``python -I`` (no site/user packages,
     no cwd on sys.path), temp cwd, kernel rlimits, wall timeout.
     Returns (exec_code, stdout): 999 = ran, -1 = timeout, -2 = spawn error
-    (judge.py:426-440)."""
+    (judge.py:426-440). ``program=None`` reuses the ``sol.py`` already in
+    ``workdir`` (the per-row program is identical across its tests — r6
+    dropped the redundant rewrite per test)."""
     path = os.path.join(workdir, "sol.py")
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(program)
+    if program is not None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(program)
     try:
         result = subprocess.run(
             [sys.executable, "-I", path],
@@ -273,7 +276,7 @@ def judge_one(
                     args = [args]
                 stdin_text = json.dumps(args)
             exec_code, stdout = _run_subprocess(
-                program, str(stdin_text), timeout_s, workdir
+                program if i == 0 else None, str(stdin_text), timeout_s, workdir
             )
             if exec_code == 999:
                 ok = (

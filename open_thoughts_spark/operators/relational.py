@@ -259,8 +259,14 @@ def sample_to_token_budget(
     whole (budget = their own total). The per-domain budget becomes a
     literal CASE over the dict — driver-side constants, no extra join.
     """
-    tagged = df.withColumn("_tok", F.col(token_count_col).cast("long"))
-    totals = tagged.groupBy(domain_col).agg(
+    # the domain travels as a single-field struct key: struct equality is
+    # null-safe in joins, so NULL-domain rows form a normal group and pass
+    # through under their own total instead of vanishing in the equi-join
+    # (ADVICE r5 #3; a bare ``on=domain_col`` never matches null keys)
+    tagged = df.withColumn("_tok", F.col(token_count_col).cast("long")).withColumn(
+        "_domkey", F.struct(F.col(domain_col).alias("d"))
+    )
+    totals = tagged.groupBy("_domkey").agg(
         F.sum("_tok").alias("_domain_tokens")
     )
     if isinstance(token_budget, dict):
@@ -294,9 +300,9 @@ def sample_to_token_budget(
     )
     threshold = (frac * F.lit(float(1 << 32))).cast("long")
     return (
-        tagged.join(totals, on=domain_col)
+        tagged.join(totals, on="_domkey")
         .filter(h < threshold)
-        .drop("_tok", "_domain_tokens")
+        .drop("_tok", "_domain_tokens", "_domkey")
     )
 
 

@@ -244,10 +244,17 @@ class SnapshotCatalog:
             ]
             if not touched:
                 return parent
-            survivors = F.lit(True)
+            to_delete = F.lit(True)
             for col, op, value in preds:
-                survivors = survivors & _predicate(col, op, value)
-            remaining = spark.read.parquet(*touched).filter(~survivors)
+                to_delete = to_delete & _predicate(col, op, value)
+            # DELETE semantics: remove rows where the predicate is TRUE;
+            # rows where it evaluates to SQL NULL survive. A bare
+            # ``~to_delete`` is NULL for those rows and filter() drops
+            # them — data loss that would depend on which files the stats
+            # happened to touch (ADVICE r5 #1).
+            remaining = spark.read.parquet(*touched).filter(
+                ~F.coalesce(to_delete, F.lit(False))
+            )
 
             ts = int(time.time() * 1000)
             snap_id = hashlib.md5(
@@ -266,6 +273,10 @@ class SnapshotCatalog:
                 "parent": parent,
                 "ts_ms": ts,
                 "operation": "delete",
+                # maintenance ops between micro-batches must not reset the
+                # exactly-once check (ADVICE r5 #2): inherit the last
+                # committed stream batch id like append snapshots do
+                "stream_batch_id": pm.get("stream_batch_id"),
                 "files": kept + new_files,
                 "new_files": new_files,
                 "rewritten_files": touched,
@@ -313,6 +324,18 @@ class SnapshotCatalog:
             ).collect()[0]
             if krange["lo"] is None:
                 return parent  # empty upsert: metadata no-op
+            # an upsert slice with repeated keys would insert every copy
+            # (the anti-join only removes TABLE rows) and silently leave
+            # duplicate-key rows in the new snapshot (ADVICE r5 #5)
+            dup = (
+                df.groupBy(key_col).count().filter(F.col("count") > 1)
+                .limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_rows: incoming frame has duplicate {key_col} "
+                    "values; dropDuplicates to a last-wins slice first"
+                )
             touched = [
                 f
                 for f in pm["files"]
@@ -345,6 +368,7 @@ class SnapshotCatalog:
                 "parent": parent,
                 "ts_ms": ts,
                 "operation": "merge",
+                "stream_batch_id": pm.get("stream_batch_id"),  # ADVICE r5 #2
                 "files": kept + new_files,
                 "new_files": new_files,
                 "rewritten_files": touched,

@@ -672,3 +672,72 @@ def test_snapshot_merge_rows_upserts_by_key(spark, tmp_path):
     assert cat.read(spark, "t").count() == 8001
     # empty upsert: metadata no-op
     assert cat.merge_rows(spark, "t", up2.limit(0), "k") == s3
+
+
+def test_snapshot_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE removes rows where the predicate is TRUE; rows where it
+    evaluates to SQL NULL must SURVIVE — in rewritten files exactly like
+    in untouched ones (ADVICE r6: a bare ``filter(~pred)`` silently
+    dropped null-valued rows from every rewritten file, data loss whose
+    extent depended on file layout)."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(i, i if i % 10 else None) for i in range(1000)], "id long, k long"
+    ).repartitionByRange(4, "id")
+    cat.write(df, "t", mode="overwrite")
+    n_null = df.filter(F.col("k").isNull()).count()
+    assert n_null == 100
+
+    cat.delete_where(spark, "t", ("k", "<", 500))
+    now = cat.read(spark, "t")
+    # every null-k row survives, in every file
+    assert now.filter(F.col("k").isNull()).count() == n_null
+    # and the delete itself was applied
+    assert now.filter(F.col("k") < 500).count() == 0
+
+
+def test_stream_batch_id_survives_delete_and_merge(spark, tmp_path):
+    """A maintenance op (delete/merge) committed between micro-batches
+    must not reset the exactly-once check: the last committed stream
+    batch id is inherited into delete/merge manifests, so a replayed
+    batch after failure recovery is still skipped (ADVICE r6)."""
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    b = spark.createDataFrame([(i, "x") for i in range(100)], "k long, v string")
+    assert cat.append_batch(b, "t", 0) is not None
+    assert cat.append_batch(b, "t", 1) is not None
+    assert cat.read(spark, "t").count() == 200
+
+    cat.delete_where(spark, "t", ("k", "<", 10))
+    # replay of batch 1 after the delete: still deduped
+    assert cat.append_batch(b, "t", 1) is None
+    assert cat.read(spark, "t").count() == 200 - 20
+
+    up = spark.createDataFrame([(5_000, "ins")], "k long, v string")
+    cat.merge_rows(spark, "t", up, "k")
+    assert cat.append_batch(b, "t", 1) is None  # still deduped after merge
+    assert cat.append_batch(b, "t", 2) is not None  # new batch commits
+
+
+def test_merge_rows_rejects_duplicate_incoming_keys(spark, tmp_path):
+    """An upsert slice with repeated keys would leave duplicate-key rows
+    in the new snapshot with no warning; merge_rows refuses it up front
+    (ADVICE r6)."""
+    import pytest
+
+    from open_thoughts_spark.sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "w"))
+    base = spark.createDataFrame([(i, "old") for i in range(50)], "k long, v string")
+    cat.write(base, "t", mode="overwrite")
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        cat.merge_rows(spark, "t", dup, "k")
+    # the deduped slice merges fine
+    cat.merge_rows(spark, "t", dup.dropDuplicates(["k"]), "k")
+    assert cat.read(spark, "t").count() == 50

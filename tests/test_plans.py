@@ -490,3 +490,33 @@ def test_zorder_bucket_tree_matches_bisect(spark):
         ]
         want = [bisect.bisect_right(cuts, v) for v in probes]
         assert got == want, (trial, cuts[:5], list(zip(probes, got, want))[:5])
+
+
+def test_zorder_rejects_bit_overflow(spark, tmp_path):
+    """bits x len(cols) > 63 would wrap shiftleft mod 64 and scramble the
+    Morton order silently; the writer refuses up front (ADVICE r6)."""
+    from open_thoughts_spark.sources.sinks import write_zorder_table
+
+    df = spark.range(10).select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(9)]
+    )
+    with pytest.raises(ValueError, match="63 usable bits"):
+        write_zorder_table(
+            df, str(tmp_path / "z"), [f"c{i}" for i in range(9)], bits=8
+        )
+
+
+def test_token_budget_null_domain_passes_through(spark):
+    """NULL-domain rows form their own group and pass through whole when
+    under budget, instead of vanishing in the totals equi-join (ADVICE
+    r6: ``on=domain_col`` never matches null keys)."""
+    from open_thoughts_spark.operators.relational import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else None, 10) for i in range(100)],
+        "id long, dom string, toks long",
+    )
+    out = sample_to_token_budget(df, "dom", "toks", 100_000, ["id"])
+    # both domains are far under budget -> everything kept, incl. nulls
+    assert out.count() == 100
+    assert out.filter(F.col("dom").isNull()).count() == 50
