@@ -199,11 +199,23 @@ def bucket_pairs(
     ``collect_list`` — the same regime where the join's output was
     quadratic; use :func:`cap_band_buckets` upstream (its window shares
     this exchange's key, so capping adds no shuffle).
+
+    The gather's exchange is pinned with an explicit partition count
+    (``repartition(P, keys)`` — REPARTITION_BY_NUM, which AQE does not
+    coalesce): the band shuffle is BYTES-tiny but each of its rows fans
+    out quadratically downstream, so AQE's size-based coalescing would
+    funnel the whole enumeration (and any per-pair verify math above it)
+    onto 1-2 tasks (measured r6: the banded-cosine verify ran serial,
+    3.7 s vs 1.6 s warm — the r5 "AQE coalescing" lore, compute-heavy
+    flavor). The aggregation reuses this exchange (same key), so no
+    second shuffle is added; P = the session's shuffle parallelism.
     """
+    p = int(bands_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     key = [F.col(c) for c in key_cols]
     row = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
     buckets = (
         bands_df.filter(F.col(key_cols[-1]).isNotNull())
+        .repartition(p, *key)
         .groupBy(*key)
         .agg(F.collect_list(row).alias("_rows"))
     )

@@ -226,42 +226,54 @@ def cosine_pairs_banded(
     ]
     banded = sig.select(
         F.col(id_col),
-        as_double(F.col(vec_col)).alias("_v"),
         F.explode(F.array(*pieces)).alias("_b"),
-    ).select(id_col, "_v", "_b.band_idx", "_b.band_val")
-    materialize = max_bucket_size is not None
-    if materialize:
-        # skew guard: one degenerate sign pattern (e.g. the zero vector's
-        # all-positive band) would otherwise self-join quadratically; see
-        # dedup.cap_band_buckets for the trade. The repartition puts ONE
-        # reused exchange on the join key, so the cap's window (same key)
-        # and the sign-projection lineage compute once, not per join side
-        # (r6: replaced the lazy localCheckpoint, whose driver-side plan
-        # conversion dominated build time). In the UNCAPPED path the two
-        # sides recompute the projection instead: an r6 A/B measured the
-        # corpus-wide (id, band, vector) shuffle at +2.3 s warm vs +0 for
-        # the duplicate lineage — the vectors outweigh the sign map.
-        from open_thoughts_spark.operators.dedup import cap_band_buckets
+    ).select(id_col, "_b.band_idx", "_b.band_val")
+    from open_thoughts_spark.operators.dedup import bucket_pairs, cap_band_buckets
 
+    if max_bucket_size is not None:
+        # skew guard: one degenerate sign pattern (e.g. the zero vector's
+        # all-positive band) would otherwise make that bucket's pair
+        # enumeration quadratic; see dedup.cap_band_buckets for the trade.
+        # The cap's window keys exactly like the gather below, so capping
+        # shares its exchange.
         banded = cap_band_buckets(
             banded, max_bucket_size, key_cols=("band_idx", "band_val")
         )
-        banded = banded.repartition(F.col("band_idx"), F.col("band_val"))
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
-        "band_idx", "band_val",
+    # Candidate generation is the r6 bucket-gather (dedup.bucket_pairs —
+    # one shuffle, sign-projection lineage computed once, no self-join),
+    # over (id, band) rows ONLY: gathering the vectors themselves was
+    # measured 2x slower (the pair double-explode replicates the bucket's
+    # whole struct array per output row — fine for the simhash families'
+    # 16-byte fingerprints, ruinous for 64-double vectors). Vectors are
+    # re-attached to the DISTINCT candidates by two id joins — the
+    # standard candidate-verify shape (exactly jaccard_pairs' pushdown):
+    # the shuffles carry (id_a, id_b) pairs and one vector copy per side,
+    # never per-band duplicates (guide §2.3/§8).
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cands = (
+        bucket_pairs(banded, ("band_idx", "band_val"), (), id_col)
+        .select(
+            F.col(f"_a.{id_col}").alias("id_a"),
+            F.col(f"_b.{id_col}").alias("id_b"),
+        )
+        # explicit-N repartition on the pair key: the distinct reuses this
+        # exchange AND its output stays P partitions — AQE's bytes-based
+        # coalescing would otherwise funnel the candidate set (skinny
+        # rows, heavy per-row cosine above) onto 1-2 tasks (see
+        # dedup.bucket_pairs)
+        .repartition(p, F.col("id_a"), F.col("id_b"))
+        .distinct()
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
-        "band_idx", "band_val",
-    )
-    if materialize:
-        b = b.hint("shuffle_hash")
+    vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     return (
-        a.join(b, on=["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair agreeing on several bands surfaces once per band
-        .dropDuplicates(["id_a", "id_b"])
+        cands.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
+            on="id_b",
+        )
         .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
