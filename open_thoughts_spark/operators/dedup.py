@@ -177,6 +177,7 @@ def bucket_pairs(
     key_cols: tuple[str, ...],
     payload_cols: tuple[str, ...],
     id_col: str,
+    pin_parallelism: bool = True,
 ) -> DataFrame:
     """All (a, b) struct pairs with ``a.id < b.id`` within each bucket,
     via ONE shuffle: gather each bucket's rows with ``collect_list`` and
@@ -200,22 +201,28 @@ def bucket_pairs(
     quadratic; use :func:`cap_band_buckets` upstream (its window shares
     this exchange's key, so capping adds no shuffle).
 
-    The gather's exchange is pinned with an explicit partition count
-    (``repartition(P, keys)`` — REPARTITION_BY_NUM, which AQE does not
-    coalesce): the band shuffle is BYTES-tiny but each of its rows fans
-    out quadratically downstream, so AQE's size-based coalescing would
-    funnel the whole enumeration (and any per-pair verify math above it)
-    onto 1-2 tasks (measured r6: the banded-cosine verify ran serial,
-    3.7 s vs 1.6 s warm — the r5 "AQE coalescing" lore, compute-heavy
-    flavor). The aggregation reuses this exchange (same key), so no
-    second shuffle is added; P = the session's shuffle parallelism.
+    With ``pin_parallelism`` the gather's exchange is pinned to an explicit
+    partition count (``repartition(P, keys)`` — REPARTITION_BY_NUM, which
+    AQE does not coalesce): the band shuffle is BYTES-tiny but each of its
+    rows fans out quadratically downstream, so AQE's size-based coalescing
+    would funnel the whole enumeration (and any per-pair verify math in
+    the same stage) onto 1-2 tasks (measured r6: the banded-cosine verify
+    ran serial, 3.7 s vs 1.4 s warm — the r5 "AQE coalescing" lore,
+    compute-heavy flavor). The aggregation reuses the exchange (same key),
+    so no second shuffle is added; P = the session's shuffle parallelism.
+    Pass ``pin_parallelism=False`` when the caller does no per-pair work
+    in the gather stage (e.g. minhash candidate generation, whose verify
+    runs in later joins keyed elsewhere) — there the pin only costs task
+    overhead on small inputs (measured: +0.2-0.3 s warm in clean windows).
     """
-    p = int(bands_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     key = [F.col(c) for c in key_cols]
     row = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
+    gathered = bands_df.filter(F.col(key_cols[-1]).isNotNull())
+    if pin_parallelism:
+        p = int(bands_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        gathered = gathered.repartition(p, *key)
     buckets = (
-        bands_df.filter(F.col(key_cols[-1]).isNotNull())
-        .repartition(p, *key)
+        gathered
         .groupBy(*key)
         .agg(F.collect_list(row).alias("_rows"))
     )
@@ -245,7 +252,12 @@ def candidate_pairs(
     if max_bucket_size is not None:
         bands_df = cap_band_buckets(bands_df, max_bucket_size)
     return (
-        bucket_pairs(bands_df, ("band_idx", "band_key"), (), id_col)
+        # pin_parallelism=False: no per-pair math runs in the gather stage
+        # here — Jaccard verification joins on other keys downstream
+        bucket_pairs(
+            bands_df, ("band_idx", "band_key"), (), id_col,
+            pin_parallelism=False,
+        )
         .select(
             F.col(f"_a.{id_col}").alias("id_a"),
             F.col(f"_b.{id_col}").alias("id_b"),
