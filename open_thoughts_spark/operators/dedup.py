@@ -310,14 +310,34 @@ def jaccard_pairs(
     if pairs is not None:
         # candidate pushdown: verification cost ∝ candidate pairs, NOT the
         # quadratic blowup of self-joining on hot shingles ("the", common
-        # n-grams). Route: pairs ⋈ shingles(id_a) ⋈ shingles(id_b, same sh).
-        sh_a = sh.select(F.col(id_col).alias("id_a"), "_sh")
-        sh_b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+        # n-grams). r6 shape: attach each side's per-row SHINGLE ARRAY by
+        # id and count the overlap with one codegen'd ``array_intersect``
+        # per row pair — two id joins and a narrow (id_a, id_b, int) agg
+        # replace the r1-r5 exploded-shingle route (pairs ⋈ sh(id_a) ⋈
+        # sh(id_b, same sh) → count), which shuffled shingle STRINGS on a
+        # composite key (guide §2.3). The sum over row pairs reproduces
+        # the exploded semantics exactly, duplicate-id inputs included:
+        # per (row_a, row_b), |A ∩ B| = matched shingle-row pairs.
+        arrays = df.select(
+            F.col(id_col),
+            shingles_expr(F.col(text_col), shingle_n).alias("_sha"),
+        )
+        a = arrays.select(F.col(id_col).alias("id_a"), F.col("_sha").alias("_A"))
+        b = arrays.select(F.col(id_col).alias("id_b"), F.col("_sha").alias("_B"))
         common = (
-            pairs.join(sh_a, on="id_a")
-            .join(sh_b, on=["id_b", "_sh"])
+            pairs.join(a, on="id_a")
+            .join(b, on="id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_A", "_B")).cast("long").alias("_c"),
+            )
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
+            .agg(F.sum("_c").alias("common"))
+            # the exploded route emitted a pair only when >= 1 shingle
+            # matched (inner join on _sh); a zero-overlap chance candidate
+            # must stay invisible here too
+            .filter(F.col("common") > 0)
         )
     else:
         join_keys = ["_sh"] + ([block_col] if block_col else [])
