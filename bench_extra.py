@@ -24,6 +24,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import HEADLINE, _multi_file_dir  # noqa: E402
 
 
+def weather_index() -> float:
+    """CPU weather canary (VERDICT r5 "what's wrong" #1 intent, hosted here
+    because bench.py is frozen): median per-task seconds of a fixed sha256
+    burn on 8 threads. Clean windows on this VM measure ~0.45-0.6; a dirty
+    (noisy-neighbor) window reads 0.75+ and its absolute timings should
+    not be compared across runs."""
+    import concurrent.futures as cf
+    import hashlib
+
+    def burn(_):
+        h = b"x" * 64
+        t0 = time.time()
+        for _ in range(200_000):
+            h = hashlib.sha256(h).digest()
+        return time.time() - t0
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        times = sorted(ex.map(burn, range(16)))
+    return round(times[len(times) // 2], 3)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=[])
@@ -38,6 +59,7 @@ def main() -> int:
     from open_thoughts_spark.session import get_spark
 
     names = args.names or HEADLINE
+    w_before = weather_index()
     bench_dir = _multi_file_dir()
     spark = get_spark(app_name="ots-bench-extra")
     qs = entrymod.queries()
@@ -73,6 +95,9 @@ def main() -> int:
         "warm": warm,
         "cold_total": round(sum(cold.values()), 3),
         "warm_total": round(sum(warm.values()), 3),
+        # clean ~0.45-0.6; dirty 0.75+ (see weather_index)
+        "weather_before": w_before,
+        "weather_after": weather_index(),
     }
     print(json.dumps(out))
     return 0
