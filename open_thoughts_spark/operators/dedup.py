@@ -219,7 +219,12 @@ def bucket_pairs(
     row = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
     gathered = bands_df.filter(F.col(key_cols[-1]).isNotNull())
     if pin_parallelism:
-        p = int(bands_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            p = int(
+                bands_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" under some deployments
+            p = bands_df.sparkSession.sparkContext.defaultParallelism
         gathered = gathered.repartition(p, *key)
     buckets = (
         gathered

@@ -249,7 +249,10 @@ def cosine_pairs_banded(
     # standard candidate-verify shape (exactly jaccard_pairs' pushdown):
     # the shuffles carry (id_a, id_b) pairs and one vector copy per side,
     # never per-band duplicates (guide §2.3/§8).
-    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some deployments
+        p = df.sparkSession.sparkContext.defaultParallelism
     cands = (
         bucket_pairs(banded, ("band_idx", "band_val"), (), id_col)
         .select(
